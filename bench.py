@@ -28,7 +28,7 @@ def main():
     from robocheck_tpu.io.conf import read_conf_file
     from robocheck_tpu.io.obj import load_obj
     from robocheck_tpu.kernels.megakernel import MegaKernelChecker
-    from robocheck_tpu.oracle.cpu_oracle import check_configs
+    from robocheck_tpu.oracle import check_configs
 
     robot = load_obj(assets.alpha_robot_path())
     obstacle = load_obj(assets.alpha_obstacle_path())
@@ -64,14 +64,29 @@ def main():
     best = min(times)
     checks_per_s = n / best
 
-    # CPU-oracle baseline on a subsample (scaled), cached across runs.
+    # CPU-oracle baseline on a subsample (scaled), cached across runs. The
+    # native C++ oracle (built on demand) is the honest baseline; the NumPy
+    # fallback is only used if the toolchain is unavailable.
+    from robocheck_tpu.runtime import native as native_mod
+
+    if not native_mod.available():
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C",
+             os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")],
+            check=False, capture_output=True,
+        )
+        native_mod._tried = False  # re-probe after build
+    oracle_kind = "native" if native_mod.available() else "numpy"
+
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_baseline_{ds_name}.json")
+                         f".bench_baseline_{ds_name}_{oracle_kind}.json")
     if os.path.exists(cache):
         with open(cache) as f:
             baseline_cps = json.load(f)["cpu_oracle_checks_per_s"]
     else:
-        sub = min(200, n)
+        sub = min(1024 if oracle_kind == "native" else 200, n)
         t0 = time.perf_counter()
         check_configs(robot, obstacle, confs[:sub])
         dt = time.perf_counter() - t0
@@ -91,6 +106,7 @@ def main():
         "best_time_s": round(best, 4),
         "golden_mismatches": mismatches,
         "cpu_oracle_baseline_checks_per_s": round(baseline_cps, 1),
+        "cpu_oracle_kind": oracle_kind,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

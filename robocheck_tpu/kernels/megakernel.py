@@ -204,19 +204,71 @@ CONFS_PER_PROGRAM = 8
 
 def _kernel(
     obs_mesh_ref,  # SMEM [1, 8] obstacle mesh AABB
+    obs_grp_ref,  # SMEM [num_obs_tiles, 8] per-group obstacle AABBs
     pose_ref,  # VMEM [CONFS_PER_PROGRAM, 16]
     rob_base_ref,  # VMEM [16, Tr]
     obs_t_ref,  # VMEM [To, 24]
     out_ref,  # VMEM [CONFS_PER_PROGRAM, 128] int32
-    rob_d,  # VMEM scratch [24, Tr]
+    rob_d,  # VMEM scratch [CONFS_PER_PROGRAM, 24, Tr]
+    misc,  # VMEM scratch [CONFS_PER_PROGRAM, 128] f32 (col 0: broad flag)
     *,
     num_rob_tiles: int,
     num_obs_tiles: int,
 ):
+    # ---- Stage 1 (vectorized across the block's configurations):
+    # transform pre-gathered corners; planes; mini-AABBs; broad flags. ----
+    def pcol(k):
+        return pose_ref[:, k : k + 1]  # [CPB, 1]
+
+    corners = []  # 9 arrays [CPB, Tr]
+    for c in range(3):
+        X = rob_base_ref[3 * c + 0 : 3 * c + 1, :]  # [1, Tr]
+        Y = rob_base_ref[3 * c + 1 : 3 * c + 2, :]
+        Z = rob_base_ref[3 * c + 2 : 3 * c + 3, :]
+        px = pcol(0) * X + pcol(1) * Y + pcol(2) * Z + pcol(3)
+        py = pcol(4) * X + pcol(5) * Y + pcol(6) * Z + pcol(7)
+        pz = pcol(8) * X + pcol(9) * Y + pcol(10) * Z + pcol(11)
+        corners += [px, py, pz]
+    for f in range(9):
+        rob_d[:, _R_C + f : _R_C + f + 1, :] = corners[f][:, None, :]
+
+    c0 = corners[0:3]
+    c1 = corners[3:6]
+    c2 = corners[6:9]
+    e1 = [c1[k] - c0[k] for k in range(3)]
+    e2 = [c2[k] - c1[k] for k in range(3)]
+    nx = e1[1] * e2[2] - e1[2] * e2[1]
+    ny = e1[2] * e2[0] - e1[0] * e2[2]
+    nz = e1[0] * e2[1] - e1[1] * e2[0]
+    rob_d[:, _R_N + 0 : _R_N + 1, :] = nx[:, None, :]
+    rob_d[:, _R_N + 1 : _R_N + 2, :] = ny[:, None, :]
+    rob_d[:, _R_N + 2 : _R_N + 3, :] = nz[:, None, :]
+    dplane = -(nx * c0[0] + ny * c0[1] + nz * c0[2])
+    rob_d[:, _R_D : _R_D + 1, :] = dplane[:, None, :]
+
+    tri_valid = rob_base_ref[9:10, :] > 0.0  # [1, Tr]
+    big = jnp.float32(3.0e38)
+    broad = None
+    for k in range(3):
+        lo = jnp.minimum(jnp.minimum(c0[k], c1[k]), c2[k])
+        hi = jnp.maximum(jnp.maximum(c0[k], c1[k]), c2[k])
+        rob_d[:, _R_LO + k : _R_LO + k + 1, :] = lo[:, None, :]
+        rob_d[:, _R_HI + k : _R_HI + k + 1, :] = hi[:, None, :]
+        mesh_lo = jnp.min(jnp.where(tri_valid, lo, big), axis=1, keepdims=True)
+        mesh_hi = jnp.max(jnp.where(tri_valid, hi, -big), axis=1, keepdims=True)
+        ax = (mesh_lo <= obs_mesh_ref[0, 3 + k]) & (
+            obs_mesh_ref[0, k] <= mesh_hi
+        )  # [CPB, 1]
+        broad = ax if broad is None else (broad & ax)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (CONFS_PER_PROGRAM, LANE), 1)
+    misc[...] = jnp.where(col == 0, broad.astype(jnp.float32), 0.0)
+
+    # ---- Stage 2+3 per configuration: gated tile sweep. ----
     def config_body(cc, _):
         _one_config(
-            cc, obs_mesh_ref, pose_ref, rob_base_ref, obs_t_ref, out_ref,
-            rob_d, num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
+            cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d, misc,
+            num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         )
         return 0
 
@@ -224,116 +276,100 @@ def _kernel(
 
 
 def _one_config(
-    cc, obs_mesh_ref, pose_ref, rob_base_ref, obs_t_ref, out_ref, rob_d,
+    cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d, misc,
     *, num_rob_tiles: int, num_obs_tiles: int,
 ):
-    pose = pose_ref[pl.ds(cc, 1), :]  # [1, 16]
-    p = [pose[0, k] for k in range(12)]
-    r00, r01, r02, tx, r10, r11, r12, ty, r20, r21, r22, tz = p
+    broad_hit = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
 
-    # ---- Stage 1: transform pre-gathered corners; planes; mini-AABBs. ----
-    for c in range(3):
-        X = rob_base_ref[3 * c + 0 : 3 * c + 1, :]
-        Y = rob_base_ref[3 * c + 1 : 3 * c + 2, :]
-        Z = rob_base_ref[3 * c + 2 : 3 * c + 3, :]
-        rob_d[_R_C + 3 * c + 0 : _R_C + 3 * c + 1, :] = r00 * X + r01 * Y + r02 * Z + tx
-        rob_d[_R_C + 3 * c + 1 : _R_C + 3 * c + 2, :] = r10 * X + r11 * Y + r12 * Z + ty
-        rob_d[_R_C + 3 * c + 2 : _R_C + 3 * c + 3, :] = r20 * X + r21 * Y + r22 * Z + tz
+    def rrow_at(r, roff):
+        # [1, 128] slice of this configuration's derived-field scratch.
+        return rob_d[pl.ds(cc, 1), r : r + 1, pl.ds(roff, LANE)][0]
 
-    c0 = [rob_d[_R_C + k : _R_C + k + 1, :] for k in range(3)]
-    c1 = [rob_d[_R_C + 3 + k : _R_C + 4 + k, :] for k in range(3)]
-    c2 = [rob_d[_R_C + 6 + k : _R_C + 7 + k, :] for k in range(3)]
-    e1 = [c1[k] - c0[k] for k in range(3)]
-    e2 = [c2[k] - c1[k] for k in range(3)]
-    nx = e1[1] * e2[2] - e1[2] * e2[1]
-    ny = e1[2] * e2[0] - e1[0] * e2[2]
-    nz = e1[0] * e2[1] - e1[1] * e2[0]
-    rob_d[_R_N + 0 : _R_N + 1, :] = nx
-    rob_d[_R_N + 1 : _R_N + 2, :] = ny
-    rob_d[_R_N + 2 : _R_N + 3, :] = nz
-    rob_d[_R_D : _R_D + 1, :] = -(nx * c0[0] + ny * c0[1] + nz * c0[2])
-
-    for k in range(3):
-        lo = jnp.minimum(jnp.minimum(c0[k], c1[k]), c2[k])
-        hi = jnp.maximum(jnp.maximum(c0[k], c1[k]), c2[k])
-        rob_d[_R_LO + k : _R_LO + k + 1, :] = lo
-        rob_d[_R_HI + k : _R_HI + k + 1, :] = hi
-
-    # ---- Stage 2: mesh-level broad phase (level-0 skip). ----
-    tri_valid = rob_base_ref[9:10, :] > 0.0  # [1, Tr]
-    big = jnp.float32(3.0e38)
-    mesh_lo = [
-        jnp.min(jnp.where(tri_valid, rob_d[_R_LO + k : _R_LO + k + 1, :], big))
-        for k in range(3)
-    ]
-    mesh_hi = [
-        jnp.max(jnp.where(tri_valid, rob_d[_R_HI + k : _R_HI + k + 1, :], -big))
-        for k in range(3)
-    ]
-    obs_lo = [obs_mesh_ref[0, k] for k in range(3)]
-    obs_hi = [obs_mesh_ref[0, 3 + k] for k in range(3)]
-    broad_hit = (
-        (mesh_lo[0] <= obs_hi[0]) & (obs_lo[0] <= mesh_hi[0])
-        & (mesh_lo[1] <= obs_hi[1]) & (obs_lo[1] <= mesh_hi[1])
-        & (mesh_lo[2] <= obs_hi[2]) & (obs_lo[2] <= mesh_hi[2])
-    )
-
-    # ---- Stage 3: tile sweep with level-1/level-2 skipping. ----
-    def tile_body(t, carry):
-        hit, cop, npairs = carry
-
-        def run():
-            i = t % num_rob_tiles  # robot tile (lane blocks of rob_d)
-            j = t // num_rob_tiles  # obstacle tile (sublane blocks of obs_t)
+    # Sweep robot tiles (outer) x obstacle tiles (inner). Per robot tile the
+    # group AABB is reduced to scalars once; each obstacle group is then
+    # gate-checked on the scalar core before any vector work happens
+    # (level 1.5 — the LBVH-flavored cull the CUDA MegaKernel approximates
+    # with per-triangle buffers).
+    def rob_tile_body(i, carry):
+        def run_rob(carry):
             roff = pl.multiple_of(i * LANE, LANE)
-            ooff = pl.multiple_of(j * LANE, LANE)
+            # Hoist this robot tile's 13 field rows + mask out of the inner
+            # obstacle loop (loaded once, reused across all obstacle tiles).
+            rfield = {"nx": rrow_at(_R_N, roff), "ny": rrow_at(_R_N + 1, roff),
+                      "nz": rrow_at(_R_N + 2, roff), "d": rrow_at(_R_D, roff)}
+            for c in range(3):
+                rfield[f"c{c}x"] = rrow_at(_R_C + 3 * c + 0, roff)
+                rfield[f"c{c}y"] = rrow_at(_R_C + 3 * c + 1, roff)
+                rfield[f"c{c}z"] = rrow_at(_R_C + 3 * c + 2, roff)
+            r_lo = [rrow_at(_R_LO + k, roff) for k in range(3)]
+            r_hi = [rrow_at(_R_HI + k, roff) for k in range(3)]
+            rg_lo = [jnp.min(r_lo[k]) for k in range(3)]
+            rg_hi = [jnp.max(r_hi[k]) for k in range(3)]
+            tile_mask = rob_base_ref[9:10, pl.ds(roff, LANE)] > 0.0
 
-            def rrow(r):
-                return rob_d[r : r + 1, pl.ds(roff, LANE)]  # [1, 128]
+            def obs_tile_body(j, carry2):
+                def run_obs(carry2):
+                    hit, cop, npairs, nfull, ngate = carry2
+                    gate = jnp.bool_(True)
+                    for k in range(3):
+                        gate &= rg_lo[k] <= obs_grp_ref[j, 3 + k]
+                        gate &= obs_grp_ref[j, k] <= rg_hi[k]
 
-            def ocol(c):
-                return obs_t_ref[pl.ds(ooff, LANE), c : c + 1]  # [128, 1]
+                    def tile(carry3):
+                        hit, cop, npairs, nfull, ngate = carry3
+                        ngate = ngate + 1
+                        ooff = pl.multiple_of(j * LANE, LANE)
 
-            # Level-2 gate: mini-AABB pair mask.
-            mask = rob_base_ref[9:10, pl.ds(roff, LANE)] > 0.0
-            for k in range(3):
-                mask &= rrow(_R_LO + k) <= ocol(_O_HI + k)
-                mask &= ocol(_O_LO + k) <= rrow(_R_HI + k)
-            count = jnp.sum(mask.astype(jnp.int32))
+                        def ocol(c):
+                            return obs_t_ref[pl.ds(ooff, LANE), c : c + 1]
 
-            def full():
-                rob = {"nx": rrow(_R_N), "ny": rrow(_R_N + 1),
-                       "nz": rrow(_R_N + 2), "d": rrow(_R_D)}
-                for c in range(3):
-                    rob[f"c{c}x"] = rrow(_R_C + 3 * c + 0)
-                    rob[f"c{c}y"] = rrow(_R_C + 3 * c + 1)
-                    rob[f"c{c}z"] = rrow(_R_C + 3 * c + 2)
-                obs = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
-                       "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
-                for c in range(3):
-                    obs[f"c{c}x"] = ocol(_O_C + 3 * c + 0)
-                    obs[f"c{c}y"] = ocol(_O_C + 3 * c + 1)
-                    obs[f"c{c}z"] = ocol(_O_C + 3 * c + 2)
-                collides, coplanar = _tile_moller(rob, obs)
-                return (
-                    hit | jnp.any(collides & mask),
-                    cop | jnp.any(coplanar & mask),
-                    npairs + count,
-                )
+                        mask = tile_mask
+                        for k in range(3):
+                            mask &= r_lo[k] <= ocol(_O_HI + k)
+                            mask &= ocol(_O_LO + k) <= r_hi[k]
+                        count = jnp.sum(mask.astype(jnp.int32))
 
-            return jax.lax.cond(count > 0, full, lambda: (hit, cop, npairs))
+                        def full(c4):
+                            hit, cop, npairs, nfull, ngate = c4
+                            obs = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
+                                   "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
+                            for c in range(3):
+                                obs[f"c{c}x"] = ocol(_O_C + 3 * c + 0)
+                                obs[f"c{c}y"] = ocol(_O_C + 3 * c + 1)
+                                obs[f"c{c}z"] = ocol(_O_C + 3 * c + 2)
+                            collides, coplanar = _tile_moller(rfield, obs)
+                            return (
+                                hit | jnp.any(collides & mask),
+                                cop | jnp.any(coplanar & mask),
+                                npairs + count,
+                                nfull + 1,
+                                ngate,
+                            )
 
-        return jax.lax.cond(hit, lambda: carry, run)
+                        return jax.lax.cond(
+                            count > 0, full, lambda c4: c4,
+                            (hit, cop, npairs, nfull, ngate),
+                        )
+
+                    return jax.lax.cond(gate, tile, lambda c3: c3,
+                                        (hit, cop, npairs, nfull, ngate))
+
+                hit = carry2[0]
+                return jax.lax.cond(hit, lambda c2: c2, run_obs, carry2)
+
+            return jax.lax.fori_loop(0, num_obs_tiles, obs_tile_body, carry)
+
+        hit = carry[0]
+        return jax.lax.cond(hit, lambda c: c, run_rob, carry)
+
+    zero_carry = (jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
+                  jnp.int32(0), jnp.int32(0))
 
     def run_tiles():
-        return jax.lax.fori_loop(
-            0, num_rob_tiles * num_obs_tiles, tile_body,
-            (jnp.bool_(False), jnp.bool_(False), jnp.int32(0)),
-        )
+        return jax.lax.fori_loop(0, num_rob_tiles, rob_tile_body, zero_carry)
 
-    hit, cop, npairs = jax.lax.cond(
-        broad_hit, run_tiles,
-        lambda: (jnp.bool_(False), jnp.bool_(False), jnp.int32(0)),
+    hit, cop, npairs, nfull, ngate = jax.lax.cond(
+        broad_hit, run_tiles, lambda: zero_carry
     )
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
@@ -341,6 +377,8 @@ def _one_config(
     out = jnp.where(col == 1, cop.astype(jnp.int32), out)
     out = jnp.where(col == 2, npairs, out)
     out = jnp.where(col == 3, broad_hit.astype(jnp.int32), out)
+    out = jnp.where(col == 4, nfull, out)
+    out = jnp.where(col == 5, ngate, out)
     out_ref[pl.ds(cc, 1), :] = out
 
 
@@ -352,6 +390,7 @@ class MegaKernelPrep:
     rob_base: np.ndarray  # [16, Tr] f32
     obs_t: np.ndarray  # [To, 24] f32
     obs_mesh_aabb: np.ndarray  # [1, 8] f32
+    obs_group_aabbs: np.ndarray  # [To/128, 8] f32 per-lane-group AABBs
     num_rob_tiles: int
     num_obs_tiles: int
 
@@ -391,10 +430,25 @@ class MegaKernelPrep:
         obs_mesh[0, 0:3] = obstacle.aabb[:3]
         obs_mesh[0, 3:6] = obstacle.aabb[3:]
 
+        # Per-128-triangle-group obstacle AABBs for the scalar-core gate.
+        # Morton ordering (above) makes these tight. Fully padded groups get
+        # an empty box; partially padded groups reduce over real rows only.
+        n_groups = to // LANE
+        obs_grp = np.zeros((n_groups, 8), dtype=np.float32)
+        obs_grp[:, 0:3] = np.inf
+        obs_grp[:, 3:6] = -np.inf
+        for g in range(n_groups):
+            lo = g * LANE
+            hi = min((g + 1) * LANE, obs_tv.shape[0])
+            if hi > lo:
+                obs_grp[g, 0:3] = obs_tv[lo:hi].reshape(-1, 3).min(axis=0)
+                obs_grp[g, 3:6] = obs_tv[lo:hi].reshape(-1, 3).max(axis=0)
+
         return MegaKernelPrep(
             rob_base=rob_base,
             obs_t=obs_t,
             obs_mesh_aabb=obs_mesh,
+            obs_group_aabbs=obs_grp,
             num_rob_tiles=tr // LANE,
             num_obs_tiles=to // LANE,
         )
@@ -402,8 +456,8 @@ class MegaKernelPrep:
 
 @functools.partial(jax.jit, static_argnames=("num_rob_tiles", "num_obs_tiles",
                                              "interpret"))
-def _mega_call(poses, obs_mesh_aabb, rob_base, obs_t, *, num_rob_tiles,
-               num_obs_tiles, interpret=False):
+def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t, *,
+               num_rob_tiles, num_obs_tiles, interpret=False):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
     tr = rob_base.shape[1]
@@ -416,6 +470,8 @@ def _mega_call(poses, obs_mesh_aabb, rob_base, obs_t, *, num_rob_tiles,
         grid=(b // CONFS_PER_PROGRAM,),
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((num_obs_tiles, 8), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((CONFS_PER_PROGRAM, 16), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, tr), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -424,9 +480,12 @@ def _mega_call(poses, obs_mesh_aabb, rob_base, obs_t, *, num_rob_tiles,
         out_specs=pl.BlockSpec((CONFS_PER_PROGRAM, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, LANE), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((_R_ROWS, tr), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((CONFS_PER_PROGRAM, _R_ROWS, tr), jnp.float32),
+            pltpu.VMEM((CONFS_PER_PROGRAM, LANE), jnp.float32),
+        ],
         interpret=interpret,
-    )(obs_mesh_aabb, poses, rob_base, obs_t)
+    )(obs_mesh_aabb, obs_group_aabbs, poses, rob_base, obs_t)
 
 
 def poses_from_confs(confs: jnp.ndarray) -> jnp.ndarray:
@@ -444,11 +503,37 @@ def poses_from_confs(confs: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=())
+def _broad_overlap(confs, corner_pts, corner_mask, obs_lo, obs_hi):
+    """Mesh-level broad phase over pre-gathered corners — bit-identical FP
+    order to the kernel's stage 1/2 (transform as r·X sums, masked min/max,
+    <= interval tests), so two-phase dispatch never disagrees with the fused
+    path about which configurations can be skipped."""
+    R = rotation_matrices(confs)  # [B,3,3]
+    t = confs[:, 0:3]
+    x, y, z = corner_pts[:, 0], corner_pts[:, 1], corner_pts[:, 2]
+    c0 = R[:, None, :, 0]
+    c1 = R[:, None, :, 1]
+    c2 = R[:, None, :, 2]
+    v = x[None, :, None] * c0 + y[None, :, None] * c1 + z[None, :, None] * c2
+    v = v + t[:, None, :]  # [B, C, 3]
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(corner_mask[None, :, None], v, big), axis=1)
+    hi = jnp.max(jnp.where(corner_mask[None, :, None], v, -big), axis=1)
+    return jnp.all((lo <= obs_hi) & (obs_lo <= hi), axis=-1)  # [B] bool
+
+
 class MegaKernelChecker:
     """Drop-in fast path: same verdicts as the XLA pipeline, one fused kernel.
 
     Returns (valid, coplanar, num_pairs, broad_hit) device arrays via
     ``check_block``; `CollisionWorld`-style host convenience via ``check``.
+
+    ``check`` defaults to two-phase dispatch: a cheap XLA broad phase over
+    the whole batch, then the fused kernel only on configurations whose mesh
+    AABBs overlap the obstacle (the reference's skip-if-already-valid
+    contract, `narrow-phase.cu:698-699`, done batch-level). On sparse
+    datasets this removes almost all kernel work.
     """
 
     def __init__(self, robot: Mesh, obstacle: Mesh, morton: bool = True,
@@ -457,27 +542,89 @@ class MegaKernelChecker:
         self._rob_base = jnp.asarray(self.prep.rob_base)
         self._obs_t = jnp.asarray(self.prep.obs_t)
         self._obs_mesh = jnp.asarray(self.prep.obs_mesh_aabb)
+        self._obs_grp = jnp.asarray(self.prep.obs_group_aabbs)
         self._interpret = interpret
+        # Corner table for the XLA broad phase: [3*Tr, 3] points + valid mask.
+        rb = self.prep.rob_base
+        pts = rb[0:9].T.reshape(-1, 3, 3)  # [Tr, 3 corners, 3 xyz]
+        self._corner_pts = jnp.asarray(pts.reshape(-1, 3))  # [3*Tr, 3]
+        self._corner_mask = jnp.asarray(np.repeat(rb[9] > 0, 3))
+        self._obs_lo = jnp.asarray(self.prep.obs_mesh_aabb[0, 0:3])
+        self._obs_hi = jnp.asarray(self.prep.obs_mesh_aabb[0, 3:6])
 
     def check_block(self, confs: jnp.ndarray) -> jnp.ndarray:
         """[B,6] device confs -> [B,128] int32 raw kernel output."""
         poses = poses_from_confs(confs)
         return _mega_call(
-            poses, self._obs_mesh, self._rob_base, self._obs_t,
+            poses, self._obs_mesh, self._obs_grp, self._rob_base, self._obs_t,
             num_rob_tiles=self.prep.num_rob_tiles,
             num_obs_tiles=self.prep.num_obs_tiles,
             interpret=self._interpret,
         )
 
-    def check(self, confs: np.ndarray):
+    def broad_block(self, confs: jnp.ndarray) -> jnp.ndarray:
+        """[B,6] -> [B] bool mesh-AABB overlap (True = needs narrow phase)."""
+        return _broad_overlap(
+            confs, self._corner_pts, self._corner_mask, self._obs_lo,
+            self._obs_hi,
+        )
+
+    @staticmethod
+    def _pad_block(n: int) -> int:
+        """Round survivor counts to a coarse grid to bound recompiles while
+        keeping padding waste low (<= 1/8 of the batch)."""
+        if n <= 256:
+            return max(round_up(n, CONFS_PER_PROGRAM), CONFS_PER_PROGRAM)
+        if n <= 4096:
+            return 1 << (n - 1).bit_length()
+        step = 1 << ((n - 1).bit_length() - 3)  # 1/8 granularity
+        return round_up(n, step)
+
+    def check(self, confs: np.ndarray, two_phase: bool = True):
         confs = validate_confs(confs)
         n = confs.shape[0]
-        pad = (-n) % CONFS_PER_PROGRAM
-        if pad:
-            confs = np.pad(confs, ((0, pad), (0, 0)))
-        out = np.asarray(self.check_block(jnp.asarray(confs)))[:n]
-        valid = out[:, 0].astype(bool)
-        coplanar = out[:, 1].astype(bool)
-        num_pairs = out[:, 2]
-        broad_hit = out[:, 3].astype(bool)
-        return valid, coplanar, num_pairs, broad_hit
+        # Non-finite configurations are not poses; never report them valid
+        # (NaN comparisons would otherwise sail through the broad phase).
+        finite = np.isfinite(confs).all(axis=1)
+        if not finite.all():
+            out_v = np.zeros((n,), dtype=bool)
+            out_c = np.zeros((n,), dtype=bool)
+            out_p = np.zeros((n,), dtype=np.int32)
+            out_b = np.ones((n,), dtype=bool)
+            if finite.any():
+                v, c, p, b = self.check(confs[finite], two_phase=two_phase)
+                out_v[finite] = v
+                out_c[finite] = c
+                out_p[finite] = p
+                out_b[finite] = b
+            return out_v, out_c, out_p, out_b
+        if not two_phase:
+            pad = (-n) % CONFS_PER_PROGRAM
+            if pad:
+                confs = np.pad(confs, ((0, pad), (0, 0)))
+            out = np.asarray(self.check_block(jnp.asarray(confs)))[:n]
+            return (out[:, 0].astype(bool), out[:, 1].astype(bool),
+                    out[:, 2], out[:, 3].astype(bool))
+
+        # Phase 1: broad phase over the whole batch (pad to a coarse grid).
+        bpad = self._pad_block(max(n, 1))
+        cpad = np.pad(confs, ((0, bpad - n % bpad if n % bpad else 0), (0, 0)))
+        overlap = np.asarray(self.broad_block(jnp.asarray(cpad)))[:n]
+
+        valid = np.ones((n,), dtype=bool)
+        coplanar = np.zeros((n,), dtype=bool)
+        num_pairs = np.zeros((n,), dtype=np.int32)
+
+        idx = np.nonzero(overlap)[0]
+        if idx.size:
+            # Phase 2: fused kernel on survivors only. Padding rows are
+            # placed far away so they exit at the kernel's broad phase.
+            m = self._pad_block(idx.size)
+            surv = np.zeros((m, 6), dtype=np.float32)
+            surv[:, 0] = 1.0e9
+            surv[: idx.size] = confs[idx]
+            out = np.asarray(self.check_block(jnp.asarray(surv)))[: idx.size]
+            valid[idx] = out[:, 0].astype(bool)
+            coplanar[idx] = out[:, 1].astype(bool)
+            num_pairs[idx] = out[:, 2]
+        return valid, coplanar, num_pairs, overlap

@@ -249,7 +249,7 @@ class CollisionWorld:
         # Slow-path fixups (both are rare; resolved exactly in float64).
         fixup = np.nonzero(coplanar | overflow)[0]
         if fixup.size and self.config.resolve_coplanar:
-            from ..oracle.cpu_oracle import check_configs
+            from ..oracle import check_configs
 
             valid[fixup] = check_configs(self.robot, self.obstacle, confs[fixup])
 

@@ -58,6 +58,7 @@ class ShardedChecker:
         self._rob_base = jax.device_put(self.prep.rob_base, replicated)
         self._obs_t = jax.device_put(self.prep.obs_t, replicated)
         self._obs_mesh = jax.device_put(self.prep.obs_mesh_aabb, replicated)
+        self._obs_grp = jax.device_put(self.prep.obs_group_aabbs, replicated)
         self._conf_sharding = NamedSharding(self.mesh, P(BATCH_AXIS))
 
         prep = self.prep
@@ -65,15 +66,15 @@ class ShardedChecker:
         @functools.partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(BATCH_AXIS), P(), P(), P()),
+            in_specs=(P(BATCH_AXIS), P(), P(), P(), P()),
             out_specs=(P(BATCH_AXIS), P()),
             # pallas_call out_shapes carry no varying-mesh-axis info.
             check_vma=False,
         )
-        def _sharded(confs, obs_mesh, rob_base, obs_t):
+        def _sharded(confs, obs_mesh, obs_grp, rob_base, obs_t):
             poses = mk.poses_from_confs(confs)
             out = mk._mega_call(
-                poses, obs_mesh, rob_base, obs_t,
+                poses, obs_mesh, obs_grp, rob_base, obs_t,
                 num_rob_tiles=prep.num_rob_tiles,
                 num_obs_tiles=prep.num_obs_tiles,
                 interpret=interpret,
@@ -96,7 +97,8 @@ class ShardedChecker:
     def check_block(self, confs: jnp.ndarray):
         """[B,6] (B divisible by num_devices*8) -> ([B,128] out, [3] totals)."""
         confs = jax.device_put(confs, self._conf_sharding)
-        return self._sharded(confs, self._obs_mesh, self._rob_base, self._obs_t)
+        return self._sharded(confs, self._obs_mesh, self._obs_grp,
+                             self._rob_base, self._obs_t)
 
     def check(self, confs: np.ndarray):
         confs = validate_confs(confs)

@@ -1,0 +1,161 @@
+"""Batch-PRM: the sampling-based motion planner the reference framework was
+built to serve (its README frames the library as collision checking for
+sampling-based planning; `models/alpha1.0/alpha.query` carries start/goal
+configurations no reference code ever consumes).
+
+Everything batch-shaped funnels through the TPU checker:
+  1. vertex validation — one big batch of sampled configurations,
+  2. edge validation — all candidate edges discretized into one giant batch
+     of interpolated configurations (the dominant cost, embarrassingly
+     parallel and exactly what the mega-kernel is fastest at),
+  3. graph search — Dijkstra on the host (tiny).
+"""
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from typing import NamedTuple
+
+import numpy as np
+
+from ..core.types import Mesh
+from ..io.datagen import generate_confs
+from ..kernels.megakernel import MegaKernelChecker
+
+
+@dataclasses.dataclass(frozen=True)
+class PRMConfig:
+    num_samples: int = 2048
+    k_neighbors: int = 12
+    edge_resolution: int = 16  # interpolated checks per edge
+    rot_scale: float = 20.0  # rotation weight in the distance metric
+    seed: int = 508
+
+
+class PRMResult(NamedTuple):
+    path: np.ndarray | None  # [L, 6] configurations incl. start/goal
+    num_vertices: int
+    num_edges_checked: int
+    num_confs_checked: int
+
+
+def _conf_distance(a: np.ndarray, b: np.ndarray, rot_scale: float) -> np.ndarray:
+    d = a - b
+    # Angles wrap; use the wrapped difference.
+    d[..., 3:] = np.arctan2(np.sin(d[..., 3:]), np.cos(d[..., 3:]))
+    w = np.array([1, 1, 1, rot_scale, rot_scale, rot_scale], np.float64)
+    return np.sqrt(((d * w) ** 2).sum(-1))
+
+
+def _interpolate(a: np.ndarray, b: np.ndarray, steps: int) -> np.ndarray:
+    """Linear in translation, shortest-arc linear in each angle."""
+    t = np.linspace(0.0, 1.0, steps)[:, None]
+    out = (1 - t) * a[None] + t * b[None]
+    da = b[3:] - a[3:]
+    da = np.arctan2(np.sin(da), np.cos(da))
+    out[:, 3:] = a[None, 3:] + t * da[None]
+    return out.astype(np.float32)
+
+
+class PRMPlanner:
+    def __init__(self, robot: Mesh, obstacle: Mesh,
+                 config: PRMConfig | None = None,
+                 checker: MegaKernelChecker | None = None,
+                 sample_box: tuple | None = None,
+                 interpret: bool = False):
+        self.robot = robot
+        self.obstacle = obstacle
+        self.cfg = config or PRMConfig()
+        self.checker = checker or MegaKernelChecker(
+            robot, obstacle, interpret=interpret
+        )
+        if sample_box is None:
+            # Default sampling volume: obstacle AABB inflated by one robot
+            # extent per side.
+            o = obstacle.aabb.astype(np.float64)
+            r = robot.aabb.astype(np.float64)
+            ext = (r[3:] - r[:3])
+            lo = o[:3] - ext
+            hi = o[3:] + ext
+            sample_box = tuple((lo[k], hi[k]) for k in range(3))
+        self.sample_box = sample_box
+
+    def plan(self, start: np.ndarray, goal: np.ndarray) -> PRMResult:
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        # Expand the sampling volume to cover start and goal (plus one robot
+        # extent of slack) so queries outside the obstacle neighborhood are
+        # still connectable.
+        r = self.robot.aabb.astype(np.float64)
+        ext = r[3:] - r[:3]
+        box = []
+        for k in range(3):
+            lo, hi = self.sample_box[k]
+            lo = min(lo, float(start[k]) - ext[k], float(goal[k]) - ext[k])
+            hi = max(hi, float(start[k]) + ext[k], float(goal[k]) + ext[k])
+            box.append((lo, hi))
+        samples = generate_confs(rng, cfg.num_samples, *box)
+        start = np.asarray(start, np.float32)
+        goal = np.asarray(goal, np.float32)
+        verts = np.concatenate([start[None], goal[None], samples], axis=0)
+
+        # 1. Vertex validation (one batch).
+        valid, *_ = self.checker.check(verts)
+        if not (valid[0] and valid[1]):
+            return PRMResult(None, 0, 0, len(verts))
+        verts = verts[valid]
+        n = len(verts)
+        confs_checked = len(valid)
+
+        # k-NN candidate edges under the weighted metric.
+        d = _conf_distance(verts[:, None, :].astype(np.float64),
+                           verts[None, :, :].astype(np.float64), cfg.rot_scale)
+        np.fill_diagonal(d, np.inf)
+        nbrs = np.argsort(d, axis=1)[:, : cfg.k_neighbors]
+        edges = set()
+        for i in range(n):
+            for j in nbrs[i]:
+                edges.add((min(i, int(j)), max(i, int(j))))
+        edges = sorted(edges)
+
+        # 2. Edge validation — one giant interpolation batch.
+        interp = np.concatenate(
+            [_interpolate(verts[i], verts[j], cfg.edge_resolution)
+             for i, j in edges],
+            axis=0,
+        )
+        evalid, *_ = self.checker.check(interp)
+        confs_checked += len(interp)
+        evalid = evalid.reshape(len(edges), cfg.edge_resolution).all(axis=1)
+
+        # 3. Dijkstra on the surviving graph.
+        adj: dict[int, list[tuple[int, float]]] = {i: [] for i in range(n)}
+        for (i, j), ok in zip(edges, evalid):
+            if ok:
+                w = float(d[i, j])
+                adj[i].append((j, w))
+                adj[j].append((i, w))
+
+        dist = {0: 0.0}
+        prev: dict[int, int] = {}
+        pq = [(0.0, 0)]
+        while pq:
+            du, u = heapq.heappop(pq)
+            if u == 1:
+                break
+            if du > dist.get(u, np.inf):
+                continue
+            for v, w in adj[u]:
+                nd = du + w
+                if nd < dist.get(v, np.inf):
+                    dist[v] = nd
+                    prev[v] = u
+                    heapq.heappush(pq, (nd, v))
+
+        if 1 not in dist:
+            return PRMResult(None, n, len(edges), confs_checked)
+        path_idx = [1]
+        while path_idx[-1] != 0:
+            path_idx.append(prev[path_idx[-1]])
+        path = verts[path_idx[::-1]]
+        return PRMResult(path, n, len(edges), confs_checked)

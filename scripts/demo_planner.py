@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Planner demo: PRM + trajectory optimization on a wall scene, and batch
+validation of the alpha-puzzle query configurations.
+
+    python scripts/demo_planner.py            # synthetic wall scene
+    python scripts/demo_planner.py --alpha    # alpha-puzzle query endpoints
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def wall_demo(interpret: bool) -> int:
+    from robocheck_tpu.models.shapes import box, icosphere
+    from robocheck_tpu.planner import PRMConfig, TrajOptConfig, plan_and_smooth
+
+    robot = icosphere(1, radius=0.3, name="robot")
+    obstacle = box(extent=(0.5, 3.0, 3.0), name="wall")
+    start = np.array([-3, 0, 0, 0, 0, 0], np.float32)
+    goal = np.array([3, 0, 0, 0, 0, 0], np.float32)
+
+    t0 = time.perf_counter()
+    res = plan_and_smooth(
+        robot, obstacle, start, goal,
+        prm_config=PRMConfig(num_samples=512, k_neighbors=10,
+                             edge_resolution=8),
+        opt_config=TrajOptConfig(num_waypoints=24, iters_per_round=150,
+                                 max_rounds=4, margin=0.25),
+        interpret=interpret,
+    )
+    dt = time.perf_counter() - t0
+    if res is None:
+        print("no path found")
+        return 1
+    print(f"planned in {dt:.2f}s: certified={res.certified}, "
+          f"rounds={res.rounds}, cost={res.final_cost:.2f}")
+    np.set_printoptions(precision=2, suppress=True)
+    print("trajectory (x, y, z):")
+    print(res.trajectory[:, :3])
+    return 0 if res.certified else 1
+
+
+def alpha_demo(interpret: bool) -> int:
+    from robocheck_tpu.io import assets
+    from robocheck_tpu.io.obj import load_obj
+    from robocheck_tpu.io.parasol import read_query
+    from robocheck_tpu.kernels.megakernel import MegaKernelChecker
+    from robocheck_tpu.planner.trajopt import densify
+
+    robot = load_obj(assets.alpha_robot_path())
+    obstacle = load_obj(assets.alpha_obstacle_path())
+    query = read_query(assets.find_asset("models/alpha1.0/alpha.query"))
+    print(f"alpha query: start={query[0]}, goal={query[1]}")
+
+    checker = MegaKernelChecker(robot, obstacle, interpret=interpret)
+    valid, *_ = checker.check(query)
+    print(f"start valid: {bool(valid[0])}, goal valid: {bool(valid[1])}")
+
+    # Validate the straight-line sweep between the endpoints (the famous
+    # narrow passage makes this infeasible — expect collisions).
+    dense, _ = densify(query, step=2.0)
+    dvalid, *_ = checker.check(dense)
+    print(f"straight-line sweep: {int(dvalid.sum())}/{len(dvalid)} "
+          f"samples collision-free")
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--alpha", action="store_true")
+    args = ap.parse_args()
+    import jax
+
+    interpret = jax.default_backend() != "tpu"
+    return alpha_demo(interpret) if args.alpha else wall_demo(interpret)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

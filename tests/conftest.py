@@ -15,6 +15,12 @@ if os.environ.get("ROBOCHECK_TEST_TPU", "0") != "1":
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # Site customizations (e.g. TPU plugin hooks) may import jax before this
+    # file runs; the config override still wins as long as no backend has
+    # been initialized yet.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

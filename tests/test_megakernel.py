@@ -1,0 +1,118 @@
+"""Mega-kernel tests (interpret mode on CPU; the real-hardware equivalence is
+exercised by bench.py's golden gate on TPU).
+
+The kernel must agree with the pure-XLA pipeline (same FP semantics) and with
+the float64 oracle on synthetic scenes small enough for interpret mode.
+"""
+import numpy as np
+import pytest
+
+from robocheck_tpu.kernels.megakernel import (
+    CONFS_PER_PROGRAM,
+    MegaKernelChecker,
+    MegaKernelPrep,
+)
+from robocheck_tpu.models.shapes import icosphere, tetrahedron
+from robocheck_tpu.ops.pipeline import CollisionWorld, PipelineConfig
+from robocheck_tpu.oracle import cpu_oracle
+
+
+@pytest.fixture(scope="module")
+def sphere_world():
+    robot = icosphere(1, radius=1.0, name="robot")  # 80 triangles
+    obstacle = icosphere(1, radius=1.5, name="obstacle")
+    return robot, obstacle
+
+
+@pytest.fixture(scope="module")
+def sphere_confs(rng=None):
+    rng = np.random.default_rng(77)
+    confs = np.zeros((16, 6), dtype=np.float32)
+    # Mix of: deep overlap, shell-crossing, near-miss, far-away.
+    confs[:, 0] = np.concatenate(
+        [
+            rng.uniform(0.0, 0.4, 4),     # robot inside obstacle -> no surface hit
+            rng.uniform(0.4, 2.6, 6),     # shells cross
+            rng.uniform(2.6, 2.7, 2),     # near miss
+            rng.uniform(5.0, 50.0, 4),    # far away
+        ]
+    ).astype(np.float32)
+    confs[:, 3:6] = rng.uniform(-np.pi, np.pi, (16, 3)).astype(np.float32)
+    return confs
+
+
+def test_kernel_matches_xla_pipeline(sphere_world, sphere_confs):
+    robot, obstacle = sphere_world
+    mk = MegaKernelChecker(robot, obstacle, interpret=True)
+    valid_k, cop_k, _, _ = mk.check(sphere_confs)
+
+    world = CollisionWorld(
+        robot, obstacle,
+        PipelineConfig(batch_block=16, narrow_chunk=8, max_pairs=4096),
+    )
+    valid_x = world.check(sphere_confs)
+    np.testing.assert_array_equal(valid_k, valid_x)
+
+
+def test_kernel_matches_oracle(sphere_world, sphere_confs):
+    robot, obstacle = sphere_world
+    mk = MegaKernelChecker(robot, obstacle, interpret=True)
+    valid_k, _, _, _ = mk.check(sphere_confs)
+    valid_o = cpu_oracle.check_configs(robot, obstacle, sphere_confs)
+    np.testing.assert_array_equal(valid_k, valid_o)
+
+
+def test_kernel_tetrahedra_fixture():
+    # The reference's 2-config fixture: interlocking tetrahedra collide at
+    # the identity pose and are clear at +100x (`test-narrow-phase.cu:628-686`).
+    # (Coincident identical tetrahedra would NOT register: every pair is
+    # coplanar or edge-sharing, which the TOL-band semantics skip — same as
+    # the reference kernels.)
+    from robocheck_tpu.core.types import Mesh
+
+    robot = tetrahedron()
+    obs_pts = np.array(
+        [[1, 0.1, 0], [1.5, 1, 2.2], [1, 2.4, 0], [3.3, 2, 2]], np.float32
+    )
+    obstacle = Mesh(obs_pts, robot.triangles, "obs-tetra")
+    mk = MegaKernelChecker(robot, obstacle, interpret=True)
+    confs = np.zeros((2, 6), np.float32)
+    confs[1, 0] = 100.0
+    valid, cop, npairs, broad = mk.check(confs)
+    assert not valid[0]
+    assert valid[1]
+    assert broad[0] and not broad[1]
+
+
+def test_morton_off_same_verdicts(sphere_world, sphere_confs):
+    robot, obstacle = sphere_world
+    a = MegaKernelChecker(robot, obstacle, morton=True, interpret=True)
+    b = MegaKernelChecker(robot, obstacle, morton=False, interpret=True)
+    va, *_ = a.check(sphere_confs)
+    vb, *_ = b.check(sphere_confs)
+    np.testing.assert_array_equal(va, vb)
+
+
+def test_prep_shapes(alpha_meshes):
+    robot, obstacle = alpha_meshes
+    prep = MegaKernelPrep.build(robot, obstacle)
+    assert prep.rob_base.shape == (16, 1024)
+    assert prep.obs_t.shape == (1024, 24)
+    assert prep.num_rob_tiles == 8
+    assert prep.num_obs_tiles == 8
+    # Padding robot triangles are flagged invalid.
+    assert prep.rob_base[9, :1008].all()
+    assert not prep.rob_base[9, 1008:].any()
+    # Padding obstacle AABBs are empty (never pass the gate).
+    assert np.all(prep.obs_t[1008:, 13:16] == np.inf)
+    assert np.all(prep.obs_t[1008:, 16:19] == -np.inf)
+
+
+def test_batch_padding_roundtrip(sphere_world):
+    robot, obstacle = sphere_world
+    mk = MegaKernelChecker(robot, obstacle, interpret=True)
+    confs = np.zeros((CONFS_PER_PROGRAM + 3, 6), np.float32)
+    confs[:, 0] = 100.0  # all far away
+    valid, *_ = mk.check(confs)
+    assert valid.shape == (CONFS_PER_PROGRAM + 3,)
+    assert valid.all()
