@@ -75,6 +75,27 @@ class Mesh:
     def padded(self, multiple: int = LANE) -> "PaddedMesh":
         return PaddedMesh.from_mesh(self, multiple)
 
+    @staticmethod
+    def merge(meshes: "list[Mesh]", name: str = "merged") -> "Mesh":
+        """Concatenate meshes into one (multi-obstacle scenes collapse into
+        a single obstacle — verdicts are any-hit, so merging is exact)."""
+        verts = []
+        tris = []
+        offset = 0
+        for m in meshes:
+            verts.append(m.vertices)
+            tris.append(m.triangles + offset)
+            offset += m.num_vertices
+        return Mesh(np.concatenate(verts), np.concatenate(tris), name)
+
+    def transformed(self, conf: np.ndarray) -> "Mesh":
+        """A posed copy (float64 math, rounded to f32) — for static obstacle
+        placement, e.g. Parasol .env passive-body transforms."""
+        from ..oracle.cpu_oracle import transform_vertices_f64
+
+        v = transform_vertices_f64(np.asarray(conf, np.float64), self.vertices)
+        return Mesh(v.astype(np.float32), self.triangles, self.name)
+
 
 @dataclasses.dataclass(frozen=True)
 class PaddedMesh:

@@ -201,16 +201,30 @@ def _tile_moller(rob, obs):
 # must satisfy the (8, 128) float32 tiling rule).
 CONFS_PER_PROGRAM = 8
 
+# Gate bitmask word size: bits per float-encoded word (exact in f32 <= 2^24;
+# 16 keeps headroom).
+_GATE_WORD_BITS = 16
+
+
+def _gate_words(num_obs_tiles: int) -> int:
+    return (num_obs_tiles + _GATE_WORD_BITS - 1) // _GATE_WORD_BITS
+
+
+def _misc_cols(num_rob_tiles: int, num_obs_tiles: int) -> int:
+    return round_up(8 + num_rob_tiles * _gate_words(num_obs_tiles), LANE)
+
 
 def _kernel(
     obs_mesh_ref,  # SMEM [1, 8] obstacle mesh AABB
-    obs_grp_ref,  # SMEM [num_obs_tiles, 8] per-group obstacle AABBs
+    obs_grp_ref,  # VMEM [num_obs_tiles, 8] per-group obstacle AABBs
     pose_ref,  # VMEM [CONFS_PER_PROGRAM, 16]
     rob_base_ref,  # VMEM [16, Tr]
     obs_t_ref,  # VMEM [To, 24]
     out_ref,  # VMEM [CONFS_PER_PROGRAM, 128] int32
     rob_d,  # VMEM scratch [CONFS_PER_PROGRAM, 24, Tr]
-    misc,  # VMEM scratch [CONFS_PER_PROGRAM, 128] f32 (col 0: broad flag)
+    misc,  # VMEM scratch [CONFS_PER_PROGRAM, 128] f32:
+    #        col 0 = broad flag; col 8+i = obstacle-tile gate bitmask for
+    #        robot tile i (float-encoded small int).
     *,
     num_rob_tiles: int,
     num_obs_tiles: int,
@@ -249,20 +263,55 @@ def _kernel(
     tri_valid = rob_base_ref[9:10, :] > 0.0  # [1, Tr]
     big = jnp.float32(3.0e38)
     broad = None
+    los, his = [], []
     for k in range(3):
         lo = jnp.minimum(jnp.minimum(c0[k], c1[k]), c2[k])
         hi = jnp.maximum(jnp.maximum(c0[k], c1[k]), c2[k])
         rob_d[:, _R_LO + k : _R_LO + k + 1, :] = lo[:, None, :]
         rob_d[:, _R_HI + k : _R_HI + k + 1, :] = hi[:, None, :]
-        mesh_lo = jnp.min(jnp.where(tri_valid, lo, big), axis=1, keepdims=True)
-        mesh_hi = jnp.max(jnp.where(tri_valid, hi, -big), axis=1, keepdims=True)
+        lo_m = jnp.where(tri_valid, lo, big)
+        hi_m = jnp.where(tri_valid, hi, -big)
+        los.append(lo_m)
+        his.append(hi_m)
+        mesh_lo = jnp.min(lo_m, axis=1, keepdims=True)
+        mesh_hi = jnp.max(hi_m, axis=1, keepdims=True)
         ax = (mesh_lo <= obs_mesh_ref[0, 3 + k]) & (
             obs_mesh_ref[0, k] <= mesh_hi
         )  # [CPB, 1]
         broad = ax if broad is None else (broad & ax)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (CONFS_PER_PROGRAM, LANE), 1)
-    misc[...] = jnp.where(col == 0, broad.astype(jnp.float32), 0.0)
+    # Level-1.5 gate, precomputed vectorized: for every (config, robot tile)
+    # an obstacle-tile bitmask, chunked into float-encoded 16-bit words
+    # (exact in f32) so arbitrary obstacle tile counts fit. Replaces
+    # per-(tile,tile) scalar-core gate evaluations in the sweep with one bit
+    # test per tile.
+    n_words = _gate_words(num_obs_tiles)
+    misc_cols = misc.shape[-1]
+    col = jax.lax.broadcasted_iota(
+        jnp.int32, (CONFS_PER_PROGRAM, misc_cols), 1
+    )
+    misc_val = jnp.where(col == 0, broad.astype(jnp.float32), 0.0)
+    for i in range(num_rob_tiles):
+        sl = slice(i * LANE, (i + 1) * LANE)
+        rg_lo = [jnp.min(los[k][:, sl], axis=1, keepdims=True)
+                 for k in range(3)]  # [CPB, 1]
+        rg_hi = [jnp.max(his[k][:, sl], axis=1, keepdims=True)
+                 for k in range(3)]
+        words = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
+                 for _ in range(n_words)]
+        for j in range(num_obs_tiles):
+            gate = None
+            for k in range(3):
+                og_lo = obs_grp_ref[j : j + 1, k : k + 1]  # [1, 1]
+                og_hi = obs_grp_ref[j : j + 1, 3 + k : 4 + k]
+                ax = (rg_lo[k] <= og_hi) & (og_lo <= rg_hi[k])
+                gate = ax if gate is None else (gate & ax)
+            w, b = divmod(j, _GATE_WORD_BITS)
+            words[w] = words[w] + gate.astype(jnp.float32) * jnp.float32(1 << b)
+        for w in range(n_words):
+            misc_val = jnp.where(col == 8 + i * n_words + w, words[w],
+                                 misc_val)
+    misc[...] = misc_val
 
     # ---- Stage 2+3 per configuration: gated tile sweep. ----
     def config_body(cc, _):
@@ -283,16 +332,29 @@ def _one_config(
 
     def rrow_at(r, roff):
         # [1, 128] slice of this configuration's derived-field scratch.
-        return rob_d[pl.ds(cc, 1), r : r + 1, pl.ds(roff, LANE)][0]
+        return rob_d[pl.ds(cc, 1), r : r + 1, roff : roff + LANE][0]
 
-    # Sweep robot tiles (outer) x obstacle tiles (inner). Per robot tile the
-    # group AABB is reduced to scalars once; each obstacle group is then
-    # gate-checked on the scalar core before any vector work happens
-    # (level 1.5 — the LBVH-flavored cull the CUDA MegaKernel approximates
-    # with per-triangle buffers).
-    def rob_tile_body(i, carry):
+    # Sweep robot tiles (outer, statically unrolled — enables static scratch
+    # addressing and static bitmask columns) x obstacle tiles (inner fori).
+    # The level-1.5 gate was precomputed vectorized in stage 1; per obstacle
+    # tile only a bit test remains.
+    zero_carry = (jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
+                  jnp.int32(0), jnp.int32(0))
+
+    n_words = _gate_words(num_obs_tiles)
+
+    def rob_tile(i, carry):
+        base = 8 + i * n_words
+        words = [
+            misc[pl.ds(cc, 1), base + w : base + w + 1][0, 0].astype(jnp.int32)
+            for w in range(n_words)
+        ]
+        any_bits = words[0]
+        for w in range(1, n_words):
+            any_bits = any_bits | words[w]
+
         def run_rob(carry):
-            roff = pl.multiple_of(i * LANE, LANE)
+            roff = i * LANE
             # Hoist this robot tile's 13 field rows + mask out of the inner
             # obstacle loop (loaded once, reused across all obstacle tiles).
             rfield = {"nx": rrow_at(_R_N, roff), "ny": rrow_at(_R_N + 1, roff),
@@ -303,17 +365,15 @@ def _one_config(
                 rfield[f"c{c}z"] = rrow_at(_R_C + 3 * c + 2, roff)
             r_lo = [rrow_at(_R_LO + k, roff) for k in range(3)]
             r_hi = [rrow_at(_R_HI + k, roff) for k in range(3)]
-            rg_lo = [jnp.min(r_lo[k]) for k in range(3)]
-            rg_hi = [jnp.max(r_hi[k]) for k in range(3)]
-            tile_mask = rob_base_ref[9:10, pl.ds(roff, LANE)] > 0.0
+            tile_mask = rob_base_ref[9:10, roff : roff + LANE] > 0.0
 
             def obs_tile_body(j, carry2):
                 def run_obs(carry2):
-                    hit, cop, npairs, nfull, ngate = carry2
-                    gate = jnp.bool_(True)
-                    for k in range(3):
-                        gate &= rg_lo[k] <= obs_grp_ref[j, 3 + k]
-                        gate &= obs_grp_ref[j, k] <= rg_hi[k]
+                    wsel = words[0]
+                    for w in range(1, n_words):
+                        wsel = jnp.where(j // _GATE_WORD_BITS == w, words[w],
+                                         wsel)
+                    gate = ((wsel >> (j % _GATE_WORD_BITS)) & 1) == 1
 
                     def tile(carry3):
                         hit, cop, npairs, nfull, ngate = carry3
@@ -346,13 +406,10 @@ def _one_config(
                                 ngate,
                             )
 
-                        return jax.lax.cond(
-                            count > 0, full, lambda c4: c4,
-                            (hit, cop, npairs, nfull, ngate),
-                        )
+                        return jax.lax.cond(count > 0, full,
+                                            lambda c4: c4, carry3)
 
-                    return jax.lax.cond(gate, tile, lambda c3: c3,
-                                        (hit, cop, npairs, nfull, ngate))
+                    return jax.lax.cond(gate, tile, lambda c3: c3, carry2)
 
                 hit = carry2[0]
                 return jax.lax.cond(hit, lambda c2: c2, run_obs, carry2)
@@ -360,13 +417,14 @@ def _one_config(
             return jax.lax.fori_loop(0, num_obs_tiles, obs_tile_body, carry)
 
         hit = carry[0]
-        return jax.lax.cond(hit, lambda c: c, run_rob, carry)
-
-    zero_carry = (jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
-                  jnp.int32(0), jnp.int32(0))
+        return jax.lax.cond(hit | (any_bits == 0), lambda c: c, run_rob,
+                            carry)
 
     def run_tiles():
-        return jax.lax.fori_loop(0, num_rob_tiles, rob_tile_body, zero_carry)
+        carry = zero_carry
+        for i in range(num_rob_tiles):
+            carry = rob_tile(i, carry)
+        return carry
 
     hit, cop, npairs, nfull, ngate = jax.lax.cond(
         broad_hit, run_tiles, lambda: zero_carry
@@ -444,6 +502,23 @@ class MegaKernelPrep:
                 obs_grp[g, 0:3] = obs_tv[lo:hi].reshape(-1, 3).min(axis=0)
                 obs_grp[g, 3:6] = obs_tv[lo:hi].reshape(-1, 3).max(axis=0)
 
+        # VMEM residency check: the kernel keeps the full mesh tables plus
+        # derived-field scratch on-chip. Oversized meshes need the streaming
+        # design this kernel doesn't implement yet — fail loudly and point at
+        # the XLA pipeline, which handles any size.
+        vmem_bytes = (
+            CONFS_PER_PROGRAM * _R_ROWS * tr * 4  # rob_d scratch
+            + to * LANE * 4  # obs_t (lane-padded physical layout)
+            + 16 * tr * 4  # rob_base
+        )
+        if vmem_bytes > 12 * 1024 * 1024:
+            raise ValueError(
+                f"mesh pair too large for the fused kernel's VMEM budget "
+                f"({vmem_bytes / 1e6:.1f} MB estimated for {rob_tv.shape[0]} "
+                f"robot / {obs_tv.shape[0]} obstacle triangles); use "
+                f"ops.pipeline.CollisionWorld for oversized meshes"
+            )
+
         return MegaKernelPrep(
             rob_base=rob_base,
             obs_t=obs_t,
@@ -471,7 +546,7 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t, *,
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((num_obs_tiles, 8), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((CONFS_PER_PROGRAM, 16), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, tr), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -482,7 +557,10 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t, *,
         out_shape=jax.ShapeDtypeStruct((b, LANE), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((CONFS_PER_PROGRAM, _R_ROWS, tr), jnp.float32),
-            pltpu.VMEM((CONFS_PER_PROGRAM, LANE), jnp.float32),
+            pltpu.VMEM(
+                (CONFS_PER_PROGRAM, _misc_cols(num_rob_tiles, num_obs_tiles)),
+                jnp.float32,
+            ),
         ],
         interpret=interpret,
     )(obs_mesh_aabb, obs_group_aabbs, poses, rob_base, obs_t)

@@ -8,6 +8,7 @@ import numpy as np
 from ..core.types import Mesh
 from .prm import PRMConfig, PRMPlanner, PRMResult
 from .sdf import DistanceGrid, build_distance_grid, point_triangle_distance
+from .sqp import SQPConfig, SQPOptimizer, SQPResult
 from .trajopt import (
     TrajectoryOptimizer,
     TrajOptConfig,
@@ -18,6 +19,7 @@ from .trajopt import (
 
 __all__ = [
     "PRMConfig", "PRMPlanner", "PRMResult",
+    "SQPConfig", "SQPOptimizer", "SQPResult",
     "TrajectoryOptimizer", "TrajOptConfig", "TrajOptResult",
     "DistanceGrid", "build_distance_grid", "point_triangle_distance",
     "densify", "resample", "plan_and_smooth",

@@ -1,0 +1,209 @@
+"""Sequential Quadratic Programming trajectory optimizer.
+
+The l1-penalty SQP formulation (TrajOpt-style) over batched collision
+constraint blocks — the "SQP/QP planner-in-the-loop" configuration of the
+north-star spec. Per outer iteration:
+
+  1. Constraint evaluation (batched, TPU): for every waypoint, pose the
+     robot's surface samples, query the signed distance grid, and keep the
+     top-K most-penetrating samples -> residuals g[t,k] = margin - sdf and
+     their Jacobian blocks J[t,k,6] (block-diagonal in waypoints; computed
+     with jax.jacrev through the differentiable grid query).
+  2. Convex subproblem (QP): minimize the quadratic smoothness model plus
+     mu * sum hinge(g + J dq) subject to a trust-region box |dq| <= delta —
+     solved by jitted projected gradient descent (the subproblem is convex;
+     a fixed iteration count keeps it compile-friendly).
+  3. Merit line test: accept dq if the true l1 merit (exact re-evaluation)
+     decreased; shrink the trust region otherwise, grow it on good steps.
+  4. Penalty escalation until the exact boolean mega-kernel certifies the
+     densified trajectory (`trajopt.densify`).
+
+Complements `trajopt.py`'s CHOMP-style first-order descent: SQP converges in
+far fewer (more expensive) outer iterations and handles deep penetrations
+more decisively via the linearized constraint geometry.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Mesh
+from ..kernels.megakernel import MegaKernelChecker
+from .sdf import DistanceGrid, build_distance_grid
+from .trajopt import _pose_points, _sample_surface_points, densify
+
+
+@dataclasses.dataclass(frozen=True)
+class SQPConfig:
+    num_waypoints: int = 32
+    max_outer: int = 30
+    subproblem_iters: int = 60
+    top_k: int = 8  # constraint blocks per waypoint
+    margin: float = 0.3
+    smooth_weight: float = 1.0
+    penalty_init: float = 10.0
+    penalty_growth: float = 5.0
+    max_penalty_rounds: int = 5
+    trust_init: float = 0.5
+    trust_shrink: float = 0.5
+    trust_grow: float = 1.6
+    trust_max: float = 4.0
+    trust_min: float = 1e-4
+    rot_scale: float = 20.0
+    num_surface_samples: int = 128
+    grid_resolution: int = 64
+    certify_step: float | None = None
+    seed: int = 0
+
+
+class SQPResult(NamedTuple):
+    trajectory: np.ndarray  # [T, 6]
+    certified: bool
+    outer_iters: int
+    merit: float
+
+
+class SQPOptimizer:
+    def __init__(self, robot: Mesh, obstacle: Mesh,
+                 config: SQPConfig | None = None,
+                 grid: DistanceGrid | None = None,
+                 checker: MegaKernelChecker | None = None,
+                 interpret: bool = False):
+        self.robot = robot
+        self.obstacle = obstacle
+        self.cfg = config or SQPConfig()
+        cfg = self.cfg
+        self.grid = grid if grid is not None else build_distance_grid(
+            obstacle, cfg.grid_resolution
+        )
+        self.checker = checker or MegaKernelChecker(
+            robot, obstacle, interpret=interpret
+        )
+        self._samples = jnp.asarray(
+            _sample_surface_points(robot, cfg.num_surface_samples, cfg.seed)
+        )
+        grid_ = self.grid
+        samples = self._samples
+        scale = jnp.asarray(
+            [1.0, 1.0, 1.0, cfg.rot_scale, cfg.rot_scale, cfg.rot_scale],
+            dtype=jnp.float32,
+        )
+
+        def waypoint_residuals(q_t):
+            """One waypoint's top-K penetration residuals, [K]."""
+            pts = _pose_points(q_t[None, :], samples)[0]  # [P,3]
+            d = grid_.query(pts)  # [P]
+            g = cfg.margin - d
+            top, _ = jax.lax.top_k(g, cfg.top_k)
+            return top
+
+        # Batched residuals + block-diagonal Jacobians over all waypoints.
+        self._residuals = jax.jit(jax.vmap(waypoint_residuals))
+        self._jacobians = jax.jit(jax.vmap(jax.jacrev(waypoint_residuals)))
+
+        def smooth_cost(q):
+            dq = (q[1:] - q[:-1]) * scale
+            return cfg.smooth_weight * jnp.sum(dq * dq)
+
+        self._smooth_cost = jax.jit(smooth_cost)
+
+        @partial(jax.jit, static_argnames=())
+        def solve_subproblem(q, g0, J, mu, delta):
+            """Projected gradient descent on the convexified merit in dq.
+
+            model(dq) = smooth(q + dq) + mu * sum hinge(g0 + J dq),
+            box constraint |dq| <= delta (endpoints pinned via zero rows).
+            """
+            T = q.shape[0]
+            free_mask = jnp.ones((T, 1), jnp.float32)
+            free_mask = free_mask.at[0].set(0.0).at[-1].set(0.0)
+
+            def model_grad(dq):
+                def model(dq):
+                    lin = g0 + jnp.einsum("tkd,td->tk", J, dq)
+                    return smooth_cost(q + dq) + mu * jnp.sum(
+                        jnp.maximum(lin, 0.0)
+                    )
+
+                return jax.grad(model)(dq)
+
+            # Lipschitz-ish step: smoothness curvature ~ 4*w*scale^2.
+            lr = 1.0 / (4.0 * cfg.smooth_weight * scale * scale
+                        + mu * jnp.sum(J * J, axis=(0, 1)) / T + 1e-6)
+
+            def body(_, dq):
+                gsub = model_grad(dq)
+                dq = dq - lr[None, :] * gsub
+                dq = jnp.clip(dq, -delta, delta) * free_mask
+                return dq
+
+            dq = jax.lax.fori_loop(
+                0, cfg.subproblem_iters, body, jnp.zeros_like(q)
+            )
+            return dq
+
+        self._solve_subproblem = solve_subproblem
+
+    def _merit(self, q: jnp.ndarray, mu: float) -> float:
+        g = self._residuals(q)
+        return float(
+            self._smooth_cost(q) + mu * float(jnp.sum(jnp.maximum(g, 0.0)))
+        )
+
+    def _certify(self, traj: np.ndarray) -> bool:
+        step = self.cfg.certify_step
+        if step is None:
+            ext = self.robot.aabb[3:] - self.robot.aabb[:3]
+            step = 0.5 * float(ext.min())
+        dense, _ = densify(traj, step, self.cfg.rot_scale)
+        dvalid, *_ = self.checker.check(dense)
+        return bool(dvalid.all())
+
+    def plan(self, start: np.ndarray, goal: np.ndarray,
+             init: np.ndarray | None = None) -> SQPResult:
+        cfg = self.cfg
+        start = np.asarray(start, np.float32)
+        goal = np.asarray(goal, np.float32)
+        if init is None:
+            t = np.linspace(0, 1, cfg.num_waypoints)[:, None]
+            q = ((1 - t) * start[None] + t * goal[None]).astype(np.float32)
+            rng = np.random.default_rng(cfg.seed + 1)
+            q[1:-1, :3] += rng.normal(scale=1e-2, size=(cfg.num_waypoints - 2,
+                                                        3)).astype(np.float32)
+        else:
+            q = np.asarray(init, np.float32).copy()
+            q[0], q[-1] = start, goal
+
+        qj = jnp.asarray(q)
+        mu = cfg.penalty_init
+        delta = cfg.trust_init
+        outer = 0
+        for _round in range(cfg.max_penalty_rounds):
+            for _ in range(cfg.max_outer):
+                outer += 1
+                g0 = self._residuals(qj)
+                J = self._jacobians(qj)
+                dq = self._solve_subproblem(qj, g0, J, jnp.float32(mu),
+                                            jnp.float32(delta))
+                merit_old = self._merit(qj, mu)
+                merit_new = self._merit(qj + dq, mu)
+                if merit_new < merit_old - 1e-9:
+                    qj = qj + dq
+                    delta = min(delta * cfg.trust_grow, cfg.trust_max)
+                else:
+                    delta = delta * cfg.trust_shrink
+                    if delta < cfg.trust_min:
+                        break
+            traj = np.asarray(qj)
+            if self._certify(traj):
+                return SQPResult(traj, True, outer, self._merit(qj, mu))
+            mu *= cfg.penalty_growth
+            delta = cfg.trust_init
+        traj = np.asarray(qj)
+        return SQPResult(traj, self._certify(traj), outer,
+                         self._merit(qj, mu))

@@ -108,6 +108,22 @@ def test_prep_shapes(alpha_meshes):
     assert np.all(prep.obs_t[1008:, 16:19] == -np.inf)
 
 
+@pytest.mark.slow
+def test_multiword_gate_masks(rng):
+    # >16 obstacle tiles exercises the chunked gate-bitmask encoding
+    # (2200 triangles -> 18 tiles -> 2 words per robot tile).
+    from robocheck_tpu.models.shapes import triangle_soup
+    from robocheck_tpu.oracle import cpu_oracle
+
+    obstacle = triangle_soup(rng, 2200, extent=1.0)
+    robot = icosphere(1, radius=0.2)
+    mk = MegaKernelChecker(robot, obstacle, interpret=True)
+    confs = rng.uniform(-1.5, 1.5, (8, 6)).astype(np.float32)
+    valid, *_ = mk.check(confs)
+    gt = cpu_oracle.check_configs(robot, obstacle, confs)
+    np.testing.assert_array_equal(valid, gt)
+
+
 def test_batch_padding_roundtrip(sphere_world):
     robot, obstacle = sphere_world
     mk = MegaKernelChecker(robot, obstacle, interpret=True)

@@ -119,6 +119,29 @@ class TestTrajOpt:
 
 
 @pytest.mark.slow
+class TestSQP:
+    def test_sqp_around_sphere(self):
+        from robocheck_tpu.planner.sqp import SQPConfig, SQPOptimizer
+
+        robot = icosphere(1, radius=0.3, name="robot")
+        obstacle = icosphere(2, radius=1.0, name="ball")
+        opt = SQPOptimizer(
+            robot, obstacle,
+            SQPConfig(num_waypoints=16, max_outer=15, top_k=4, margin=0.35,
+                      grid_resolution=40, num_surface_samples=64),
+            interpret=True,
+        )
+        start = np.array([-3, 0, 0, 0, 0, 0], np.float32)
+        goal = np.array([3, 0, 0, 0, 0, 0], np.float32)
+        res = opt.plan(start, goal)
+        assert res.certified, f"not certified after {res.outer_iters} iters"
+        np.testing.assert_allclose(res.trajectory[0], start, atol=1e-6)
+        np.testing.assert_allclose(res.trajectory[-1], goal, atol=1e-6)
+        # Deviates around the ball.
+        assert np.abs(res.trajectory[4:-4, 1:3]).max() > 0.5
+
+
+@pytest.mark.slow
 class TestPipeline:
     def test_prm_seeded_optimization_through_wall(self):
         from robocheck_tpu.planner import plan_and_smooth
