@@ -571,14 +571,38 @@ def poses_from_confs(confs: jnp.ndarray) -> jnp.ndarray:
     R = rotation_matrices(confs)  # [B,3,3]
     t = confs[:, 0:3]
     b = confs.shape[0]
-    out = jnp.zeros((b, 16), dtype=jnp.float32)
-    out = out.at[:, 0:3].set(R[:, 0, :])
-    out = out.at[:, 3].set(t[:, 0])
-    out = out.at[:, 4:7].set(R[:, 1, :])
-    out = out.at[:, 7].set(t[:, 1])
-    out = out.at[:, 8:11].set(R[:, 2, :])
-    out = out.at[:, 11].set(t[:, 2])
-    return out
+    pad = jnp.zeros((b, 4), dtype=jnp.float32)
+    return jnp.concatenate(
+        [
+            R[:, 0, :], t[:, 0:1],
+            R[:, 1, :], t[:, 1:2],
+            R[:, 2, :], t[:, 2:3],
+            pad,
+        ],
+        axis=1,
+    )
+
+
+# Columns of the (trimmed) kernel output.
+OUT_COLS = 8  # 0=valid, 1=coplanar, 2=num_pairs, 3=broad, 4=nfull, 5=ngate
+
+
+@functools.partial(jax.jit, static_argnames=("num_rob_tiles", "num_obs_tiles",
+                                             "interpret"))
+def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t, *,
+                      num_rob_tiles, num_obs_tiles, interpret=False):
+    """Fused block check: pose construction + kernel + column trim, one jit.
+
+    Trimming to OUT_COLS on-device matters: the kernel's [B, 128] int32
+    output would otherwise cross the device->host link 16x wider than
+    needed (profiled as the dominant cost of a hard-dataset run).
+    """
+    out = _mega_call(
+        poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
+        num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
+        interpret=interpret,
+    )
+    return out[:, :OUT_COLS]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -631,10 +655,9 @@ class MegaKernelChecker:
         self._obs_hi = jnp.asarray(self.prep.obs_mesh_aabb[0, 3:6])
 
     def check_block(self, confs: jnp.ndarray) -> jnp.ndarray:
-        """[B,6] device confs -> [B,128] int32 raw kernel output."""
-        poses = poses_from_confs(confs)
-        return _mega_call(
-            poses, self._obs_mesh, self._obs_grp, self._rob_base, self._obs_t,
+        """[B,6] device confs -> [B, OUT_COLS] int32 kernel output."""
+        return _check_block_impl(
+            confs, self._obs_mesh, self._obs_grp, self._rob_base, self._obs_t,
             num_rob_tiles=self.prep.num_rob_tiles,
             num_obs_tiles=self.prep.num_obs_tiles,
             interpret=self._interpret,

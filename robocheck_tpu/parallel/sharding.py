@@ -72,9 +72,8 @@ class ShardedChecker:
             check_vma=False,
         )
         def _sharded(confs, obs_mesh, obs_grp, rob_base, obs_t):
-            poses = mk.poses_from_confs(confs)
-            out = mk._mega_call(
-                poses, obs_mesh, obs_grp, rob_base, obs_t,
+            out = mk._check_block_impl(
+                confs, obs_mesh, obs_grp, rob_base, obs_t,
                 num_rob_tiles=prep.num_rob_tiles,
                 num_obs_tiles=prep.num_obs_tiles,
                 interpret=interpret,
