@@ -46,8 +46,9 @@ def main():
     interpret = jax.default_backend() != "tpu"
     checker = MegaKernelChecker(robot, obstacle, interpret=interpret)
 
-    # Warm-up / compile.
-    valid, cop, npairs, broad = checker.check(confs)
+    # Warm-up / compile (the throughput path: streamed single-phase
+    # dispatch, packed 1-byte/config verdicts over the link).
+    valid, cop = checker.check_valid(confs)
 
     # Correctness gate (the reference's KERNEL BROKEN check,
     # full-integration-test.cu:695-724).
@@ -59,7 +60,7 @@ def main():
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        checker.check(confs)
+        checker.check_valid(confs)
         times.append(time.perf_counter() - t0)
     best = min(times)
     checks_per_s = n / best

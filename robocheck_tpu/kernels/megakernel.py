@@ -15,6 +15,11 @@ with three levels of work elimination, all branch-free within a tile:
   level 2  mini-AABB tile gate: a 128x128 pair tile whose AABB-overlap mask
            is empty skips the ~200-flop Moller evaluation entirely
            (`MegaKernel.cu:258-331`'s cull, as a mask + skip, no atomics).
+  level 3  plane prefilter: tiles that do run first evaluate only the
+           signed-distance/plane-separation stage (~40 flops); the interval
+           stage runs only if some masked pair has both planes straddled —
+           an exact short-circuit (a separated pair can't collide and can't
+           be live-coplanar).
 
 Gather-freedom: instead of transforming 792 vertices and then gathering
 triangle corners (the CUDA layout), the kernel transforms *pre-gathered*
@@ -94,20 +99,19 @@ def _la_solve(a1, a2, a3, a4, b1, b2):
     return jnp.where(a1_zero, x1_a, x1_b), jnp.where(a1_zero, x2_a, x2_b)
 
 
-def _tile_moller(rob, obs):
-    """Full Moller test on one [128 obs x 128 rob] pair tile.
+def _tile_planes(rob, obs):
+    """Cheap first stage of the Moller test on one [128 x 128] pair tile:
+    signed corner distances against the opposite plane and the plane
+    separation tests (`compute_signed_dists`/`no_overlap`,
+    `narrow-phase.cu:78-106`). A pair with either plane separating cannot
+    collide and cannot be live-coplanar, so tiles where `live` is empty can
+    skip `_tile_moller_rest` entirely — an exact short-circuit.
 
-    Args:
-      rob: dict of [1, 128] robot-side fields (c{0,1,2}{x,y,z}, nx,ny,nz,d).
-      obs: dict of [128, 1] obstacle-side fields (same keys).
-    Returns:
-      (collides, coplanar) [128, 128] bool arrays. Semantics identical to
-      `ops.narrow.pair_intersects` (same FP operation order).
+    Returns (dist_o, dist_r, live) where live = ~sep_o & ~sep_r.
     """
     nrx, nry, nrz, dr = rob["nx"], rob["ny"], rob["nz"], rob["d"]
     nox, noy, noz, do = obs["nx"], obs["ny"], obs["nz"], obs["d"]
 
-    # Signed distances of obstacle corners vs robot plane, and vice versa.
     dist_o = [
         nrx * obs[f"c{c}x"] + nry * obs[f"c{c}y"] + nrz * obs[f"c{c}z"] + dr
         for c in range(3)
@@ -122,8 +126,21 @@ def _tile_moller(rob, obs):
         lz = (d3[0] <= -TOL) | (d3[1] <= -TOL) | (d3[2] <= -TOL)
         return ~(gz & lz)
 
-    sep_o = _no_overlap(dist_o)
-    sep_r = _no_overlap(dist_r)
+    live = ~_no_overlap(dist_o) & ~_no_overlap(dist_r)
+    return dist_o, dist_r, live
+
+
+def _tile_moller_rest(rob, obs, dist_o, dist_r):
+    """Expensive remainder of the Moller test: coplanarity, plane
+    intersection line, and interval overlap. Only meaningful for pairs where
+    `_tile_planes` reported live; callers mask with it.
+
+    Returns (intersects_t, coplanar) [128, 128] bool arrays. Combined with
+    the live mask the semantics are identical to `ops.narrow.pair_intersects`
+    (same FP operation order).
+    """
+    nrx, nry, nrz, dr = rob["nx"], rob["ny"], rob["nz"], rob["d"]
+    nox, noy, noz, do = obs["nx"], obs["ny"], obs["nz"], obs["d"]
 
     # Coplanarity: component-ratio test against the first usable component.
     comps = [(nrx, nox), (nry, noy), (nrz, noz), (dr, do)]
@@ -192,9 +209,7 @@ def _tile_moller(rob, obs):
     min_o, max_o = interval(p_o, dist_o)
     separated_t = (min_r >= max_o) | (min_o >= max_r)
 
-    collides = ~sep_o & ~sep_r & ~coplanar & ~separated_t
-    coplanar_live = ~sep_o & ~sep_r & coplanar
-    return collides, coplanar_live
+    return ~coplanar & ~separated_t, coplanar
 
 
 # Configurations processed per grid program (the pose/out block row count;
@@ -216,10 +231,11 @@ def _misc_cols(num_rob_tiles: int, num_obs_tiles: int) -> int:
 
 def _kernel(
     obs_mesh_ref,  # SMEM [1, 8] obstacle mesh AABB
-    obs_grp_ref,  # VMEM [num_obs_tiles, 8] per-group obstacle AABBs
+    obs_grp_ref,  # SMEM [num_obs_tiles, 8] per-group obstacle AABBs
     pose_ref,  # VMEM [CONFS_PER_PROGRAM, 16]
     rob_base_ref,  # VMEM [16, Tr]
     obs_t_ref,  # VMEM [To, 24]
+    obs_aabb_rows_ref,  # VMEM [6, To] obstacle tri AABBs, row layout
     out_ref,  # VMEM [CONFS_PER_PROGRAM, 128] int32
     rob_d,  # VMEM scratch [CONFS_PER_PROGRAM, 24, Tr]
     misc,  # VMEM scratch [CONFS_PER_PROGRAM, 128] f32:
@@ -243,32 +259,20 @@ def _kernel(
         py = pcol(4) * X + pcol(5) * Y + pcol(6) * Z + pcol(7)
         pz = pcol(8) * X + pcol(9) * Y + pcol(10) * Z + pcol(11)
         corners += [px, py, pz]
-    for f in range(9):
-        rob_d[:, _R_C + f : _R_C + f + 1, :] = corners[f][:, None, :]
 
     c0 = corners[0:3]
     c1 = corners[3:6]
     c2 = corners[6:9]
-    e1 = [c1[k] - c0[k] for k in range(3)]
-    e2 = [c2[k] - c1[k] for k in range(3)]
-    nx = e1[1] * e2[2] - e1[2] * e2[1]
-    ny = e1[2] * e2[0] - e1[0] * e2[2]
-    nz = e1[0] * e2[1] - e1[1] * e2[0]
-    rob_d[:, _R_N + 0 : _R_N + 1, :] = nx[:, None, :]
-    rob_d[:, _R_N + 1 : _R_N + 2, :] = ny[:, None, :]
-    rob_d[:, _R_N + 2 : _R_N + 3, :] = nz[:, None, :]
-    dplane = -(nx * c0[0] + ny * c0[1] + nz * c0[2])
-    rob_d[:, _R_D : _R_D + 1, :] = dplane[:, None, :]
 
     tri_valid = rob_base_ref[9:10, :] > 0.0  # [1, Tr]
     big = jnp.float32(3.0e38)
     broad = None
-    los, his = [], []
+    los, his, lo_raw, hi_raw = [], [], [], []
     for k in range(3):
         lo = jnp.minimum(jnp.minimum(c0[k], c1[k]), c2[k])
         hi = jnp.maximum(jnp.maximum(c0[k], c1[k]), c2[k])
-        rob_d[:, _R_LO + k : _R_LO + k + 1, :] = lo[:, None, :]
-        rob_d[:, _R_HI + k : _R_HI + k + 1, :] = hi[:, None, :]
+        lo_raw.append(lo)
+        hi_raw.append(hi)
         lo_m = jnp.where(tri_valid, lo, big)
         hi_m = jnp.where(tri_valid, hi, -big)
         los.append(lo_m)
@@ -284,34 +288,106 @@ def _kernel(
     # an obstacle-tile bitmask, chunked into float-encoded 16-bit words
     # (exact in f32) so arbitrary obstacle tile counts fit. Replaces
     # per-(tile,tile) scalar-core gate evaluations in the sweep with one bit
-    # test per tile.
+    # test per tile. The gate is refined beyond group-vs-group: a tile passes
+    # only if some ROBOT triangle box touches the obstacle GROUP box (row
+    # test) AND some OBSTACLE triangle box touches the robot GROUP box (col
+    # test) — both exact necessary conditions for any pairwise overlap (a
+    # triangle box is contained in its group box). The per-128-lane "any"
+    # reductions are done as ONE [CPB, T] x [T, tiles] segment-indicator
+    # matmul per side (sums of 0/1 are exact; >0 == any) — lane reductions
+    # are slow on the VPU, matmuls are not. Everything below the broad flag
+    # only runs when some configuration in the program survived the broad
+    # phase, so all-miss programs (sparse datasets) pay for transform+AABB
+    # only.
     n_words = _gate_words(num_obs_tiles)
     misc_cols = misc.shape[-1]
     col = jax.lax.broadcasted_iota(
         jnp.int32, (CONFS_PER_PROGRAM, misc_cols), 1
     )
-    misc_val = jnp.where(col == 0, broad.astype(jnp.float32), 0.0)
-    for i in range(num_rob_tiles):
-        sl = slice(i * LANE, (i + 1) * LANE)
-        rg_lo = [jnp.min(los[k][:, sl], axis=1, keepdims=True)
-                 for k in range(3)]  # [CPB, 1]
-        rg_hi = [jnp.max(his[k][:, sl], axis=1, keepdims=True)
-                 for k in range(3)]
-        words = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
-                 for _ in range(n_words)]
+    broad_col = jnp.where(col == 0, broad.astype(jnp.float32), 0.0)
+    any_broad = jnp.any(broad)
+
+    @pl.when(jnp.logical_not(any_broad))
+    def _():
+        misc[...] = broad_col
+
+    @pl.when(any_broad)
+    def _():
+        # Derived per-triangle fields, written once for the sweep to read.
+        for f in range(9):
+            rob_d[:, _R_C + f : _R_C + f + 1, :] = corners[f][:, None, :]
+        e1 = [c1[k] - c0[k] for k in range(3)]
+        e2 = [c2[k] - c1[k] for k in range(3)]
+        nx = e1[1] * e2[2] - e1[2] * e2[1]
+        ny = e1[2] * e2[0] - e1[0] * e2[2]
+        nz = e1[0] * e2[1] - e1[1] * e2[0]
+        rob_d[:, _R_N + 0 : _R_N + 1, :] = nx[:, None, :]
+        rob_d[:, _R_N + 1 : _R_N + 2, :] = ny[:, None, :]
+        rob_d[:, _R_N + 2 : _R_N + 3, :] = nz[:, None, :]
+        dplane = -(nx * c0[0] + ny * c0[1] + nz * c0[2])
+        rob_d[:, _R_D : _R_D + 1, :] = dplane[:, None, :]
+        for k in range(3):
+            rob_d[:, _R_LO + k : _R_LO + k + 1, :] = lo_raw[k][:, None, :]
+            rob_d[:, _R_HI + k : _R_HI + k + 1, :] = hi_raw[k][:, None, :]
+
+        tr = los[0].shape[1]
+        to = obs_aabb_rows_ref.shape[1]
+        seg_r = (
+            jax.lax.broadcasted_iota(jnp.int32, (tr, num_rob_tiles), 0)
+            // LANE
+            == jax.lax.broadcasted_iota(jnp.int32, (tr, num_rob_tiles), 1)
+        ).astype(jnp.float32)
+        seg_o = (
+            jax.lax.broadcasted_iota(jnp.int32, (to, num_obs_tiles), 0)
+            // LANE
+            == jax.lax.broadcasted_iota(jnp.int32, (to, num_obs_tiles), 1)
+        ).astype(jnp.float32)
+
+        # Row side: per obstacle group j, count rob tri boxes touching it,
+        # segment-reduced over robot tiles -> row_counts[j] [CPB, n_rob_t].
+        row_counts = []
         for j in range(num_obs_tiles):
-            gate = None
+            m = None
             for k in range(3):
-                og_lo = obs_grp_ref[j : j + 1, k : k + 1]  # [1, 1]
-                og_hi = obs_grp_ref[j : j + 1, 3 + k : 4 + k]
-                ax = (rg_lo[k] <= og_hi) & (og_lo <= rg_hi[k])
-                gate = ax if gate is None else (gate & ax)
-            w, b = divmod(j, _GATE_WORD_BITS)
-            words[w] = words[w] + gate.astype(jnp.float32) * jnp.float32(1 << b)
-        for w in range(n_words):
-            misc_val = jnp.where(col == 8 + i * n_words + w, words[w],
-                                 misc_val)
-    misc[...] = misc_val
+                og_lo = obs_grp_ref[j, k]  # SMEM scalar
+                og_hi = obs_grp_ref[j, 3 + k]
+                ax = (los[k] <= og_hi) & (og_lo <= his[k])  # [CPB, Tr]
+                m = ax if m is None else (m & ax)
+            row_counts.append(
+                jax.lax.dot(m.astype(jnp.float32), seg_r)
+            )  # [CPB, n_rob_tiles]
+
+        # Col side: per robot tile i, count obs tri boxes touching its group
+        # box, segment-reduced over obstacle tiles -> [CPB, n_obs_tiles].
+        misc_val = broad_col
+        for i in range(num_rob_tiles):
+            sl = slice(i * LANE, (i + 1) * LANE)
+            rg_lo = [jnp.min(los[k][:, sl], axis=1, keepdims=True)
+                     for k in range(3)]  # [CPB, 1]
+            rg_hi = [jnp.max(his[k][:, sl], axis=1, keepdims=True)
+                     for k in range(3)]
+            m = None
+            for k in range(3):
+                o_lo = obs_aabb_rows_ref[k : k + 1, :]  # [1, To]
+                o_hi = obs_aabb_rows_ref[3 + k : 4 + k, :]
+                ax = (rg_lo[k] <= o_hi) & (o_lo <= rg_hi[k])  # [CPB, To]
+                m = ax if m is None else (m & ax)
+            col_counts = jax.lax.dot(m.astype(jnp.float32), seg_o)
+
+            words = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
+                     for _ in range(n_words)]
+            for j in range(num_obs_tiles):
+                gate = (row_counts[j][:, i : i + 1] > 0.0) & (
+                    col_counts[:, j : j + 1] > 0.0
+                )
+                w, b = divmod(j, _GATE_WORD_BITS)
+                words[w] = words[w] + gate.astype(jnp.float32) * jnp.float32(
+                    1 << b
+                )
+            for w in range(n_words):
+                misc_val = jnp.where(col == 8 + i * n_words + w, words[w],
+                                     misc_val)
+        misc[...] = misc_val
 
     # ---- Stage 2+3 per configuration: gated tile sweep. ----
     def config_body(cc, _):
@@ -339,7 +415,7 @@ def _one_config(
     # The level-1.5 gate was precomputed vectorized in stage 1; per obstacle
     # tile only a bit test remains.
     zero_carry = (jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
-                  jnp.int32(0), jnp.int32(0))
+                  jnp.int32(0), jnp.int32(0), jnp.int32(0))
 
     n_words = _gate_words(num_obs_tiles)
 
@@ -376,8 +452,7 @@ def _one_config(
                     gate = ((wsel >> (j % _GATE_WORD_BITS)) & 1) == 1
 
                     def tile(carry3):
-                        hit, cop, npairs, nfull, ngate = carry3
-                        ngate = ngate + 1
+                        hit, cop, npairs, nfull, ngate, nrest = carry3
                         ooff = pl.multiple_of(j * LANE, LANE)
 
                         def ocol(c):
@@ -387,27 +462,43 @@ def _one_config(
                         for k in range(3):
                             mask &= r_lo[k] <= ocol(_O_HI + k)
                             mask &= ocol(_O_LO + k) <= r_hi[k]
-                        count = jnp.sum(mask.astype(jnp.int32))
 
                         def full(c4):
-                            hit, cop, npairs, nfull, ngate = c4
+                            hit, cop, npairs, nfull, ngate, nrest = c4
+                            count = jnp.sum(mask.astype(jnp.int32))
                             obs = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
                                    "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
                             for c in range(3):
                                 obs[f"c{c}x"] = ocol(_O_C + 3 * c + 0)
                                 obs[f"c{c}y"] = ocol(_O_C + 3 * c + 1)
                                 obs[f"c{c}z"] = ocol(_O_C + 3 * c + 2)
-                            collides, coplanar = _tile_moller(rfield, obs)
-                            return (
-                                hit | jnp.any(collides & mask),
-                                cop | jnp.any(coplanar & mask),
-                                npairs + count,
-                                nfull + 1,
-                                ngate,
-                            )
+                            # Stage a: plane separation (cheap). Pairs with a
+                            # separating plane can neither collide nor count
+                            # as live-coplanar, so an all-separated tile
+                            # skips the expensive interval stage exactly.
+                            dist_o, dist_r, live = _tile_planes(rfield, obs)
+                            live &= mask
 
-                        return jax.lax.cond(count > 0, full,
-                                            lambda c4: c4, carry3)
+                            def rest(c5):
+                                hit, cop, npairs, nfull, ngate, nrest = c5
+                                isect_t, coplanar = _tile_moller_rest(
+                                    rfield, obs, dist_o, dist_r
+                                )
+                                return (
+                                    hit | jnp.any(isect_t & live),
+                                    cop | jnp.any(coplanar & live),
+                                    npairs, nfull, ngate, nrest + 1,
+                                )
+
+                            c4 = (hit, cop, npairs + count, nfull + 1, ngate,
+                                  nrest)
+                            return jax.lax.cond(jnp.any(live), rest,
+                                                lambda c5: c5, c4)
+
+                        return jax.lax.cond(
+                            jnp.any(mask), full, lambda c4: c4,
+                            (hit, cop, npairs, nfull, ngate + 1, nrest),
+                        )
 
                     return jax.lax.cond(gate, tile, lambda c3: c3, carry2)
 
@@ -426,7 +517,7 @@ def _one_config(
             carry = rob_tile(i, carry)
         return carry
 
-    hit, cop, npairs, nfull, ngate = jax.lax.cond(
+    hit, cop, npairs, nfull, ngate, nrest = jax.lax.cond(
         broad_hit, run_tiles, lambda: zero_carry
     )
 
@@ -437,6 +528,7 @@ def _one_config(
     out = jnp.where(col == 3, broad_hit.astype(jnp.int32), out)
     out = jnp.where(col == 4, nfull, out)
     out = jnp.where(col == 5, ngate, out)
+    out = jnp.where(col == 6, nrest, out)
     out_ref[pl.ds(cc, 1), :] = out
 
 
@@ -449,6 +541,7 @@ class MegaKernelPrep:
     obs_t: np.ndarray  # [To, 24] f32
     obs_mesh_aabb: np.ndarray  # [1, 8] f32
     obs_group_aabbs: np.ndarray  # [To/128, 8] f32 per-lane-group AABBs
+    obs_aabb_rows: np.ndarray  # [6, To] f32 tri AABBs in row layout
     num_rob_tiles: int
     num_obs_tiles: int
 
@@ -483,6 +576,12 @@ class MegaKernelPrep:
         obs_t[:, _O_HI : _O_HI + 3] = -np.inf
         obs_t[: obs_tv.shape[0], _O_LO : _O_LO + 3] = obs_tv.min(axis=1)
         obs_t[: obs_tv.shape[0], _O_HI : _O_HI + 3] = obs_tv.max(axis=1)
+        # The same triangle AABBs in row-major [6, To] layout (lo x/y/z rows
+        # 0-2, hi rows 3-5) so the stage-1 col gate reads [1, LANE] row
+        # slices — no in-kernel transposes. Padding keeps the empty box.
+        obs_aabb_rows = np.ascontiguousarray(
+            obs_t[:, _O_LO : _O_LO + 6].T
+        ).astype(np.float32)
 
         obs_mesh = np.zeros((1, 8), dtype=np.float32)
         obs_mesh[0, 0:3] = obstacle.aabb[:3]
@@ -524,6 +623,7 @@ class MegaKernelPrep:
             obs_t=obs_t,
             obs_mesh_aabb=obs_mesh,
             obs_group_aabbs=obs_grp,
+            obs_aabb_rows=obs_aabb_rows,
             num_rob_tiles=tr // LANE,
             num_obs_tiles=to // LANE,
         )
@@ -531,8 +631,9 @@ class MegaKernelPrep:
 
 @functools.partial(jax.jit, static_argnames=("num_rob_tiles", "num_obs_tiles",
                                              "interpret"))
-def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t, *,
-               num_rob_tiles, num_obs_tiles, interpret=False):
+def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
+               obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
+               interpret=False):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
     tr = rob_base.shape[1]
@@ -546,11 +647,12 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t, *,
         in_specs=[
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((num_obs_tiles, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((CONFS_PER_PROGRAM, 16), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, tr), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((to, _O_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, to), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((CONFS_PER_PROGRAM, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -563,7 +665,7 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t, *,
             ),
         ],
         interpret=interpret,
-    )(obs_mesh_aabb, obs_group_aabbs, poses, rob_base, obs_t)
+    )(obs_mesh_aabb, obs_group_aabbs, poses, rob_base, obs_t, obs_aabb_rows)
 
 
 def poses_from_confs(confs: jnp.ndarray) -> jnp.ndarray:
@@ -584,13 +686,17 @@ def poses_from_confs(confs: jnp.ndarray) -> jnp.ndarray:
 
 
 # Columns of the (trimmed) kernel output.
-OUT_COLS = 8  # 0=valid, 1=coplanar, 2=num_pairs, 3=broad, 4=nfull, 5=ngate
+# 0=valid, 1=coplanar, 2=num_pairs (mini-AABB-overlapping), 3=broad,
+# 4=nfull (tiles that ran the plane stage), 5=ngate (tiles gated off by the
+# empty mini-AABB mask), 6=nrest (tiles that ran the interval stage).
+OUT_COLS = 8
 
 
 @functools.partial(jax.jit, static_argnames=("num_rob_tiles", "num_obs_tiles",
                                              "interpret"))
-def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t, *,
-                      num_rob_tiles, num_obs_tiles, interpret=False):
+def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
+                      obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
+                      interpret=False):
     """Fused block check: pose construction + kernel + column trim, one jit.
 
     Trimming to OUT_COLS on-device matters: the kernel's [B, 128] int32
@@ -599,10 +705,29 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t, *,
     """
     out = _mega_call(
         poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
+        obs_aabb_rows,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         interpret=interpret,
     )
     return out[:, :OUT_COLS]
+
+
+@functools.partial(jax.jit, static_argnames=("num_rob_tiles", "num_obs_tiles",
+                                             "interpret"))
+def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
+                        obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
+                        interpret=False):
+    """Like `_check_block_impl` but returns a [B] uint8 packed verdict
+    (bit 0 = valid, bit 1 = coplanar-pair-seen): 1 byte/config over the
+    device->host link instead of 32 — the link, not the kernel, limits
+    large-batch throughput on tunneled/tethered deployments."""
+    out = _mega_call(
+        poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
+        obs_aabb_rows,
+        num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
+        interpret=interpret,
+    )
+    return (out[:, 0] | (out[:, 1] << 1)).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -643,6 +768,7 @@ class MegaKernelChecker:
         self.prep = MegaKernelPrep.build(robot, obstacle, morton=morton)
         self._rob_base = jnp.asarray(self.prep.rob_base)
         self._obs_t = jnp.asarray(self.prep.obs_t)
+        self._obs_aabb_rows = jnp.asarray(self.prep.obs_aabb_rows)
         self._obs_mesh = jnp.asarray(self.prep.obs_mesh_aabb)
         self._obs_grp = jnp.asarray(self.prep.obs_group_aabbs)
         self._interpret = interpret
@@ -658,6 +784,7 @@ class MegaKernelChecker:
         """[B,6] device confs -> [B, OUT_COLS] int32 kernel output."""
         return _check_block_impl(
             confs, self._obs_mesh, self._obs_grp, self._rob_base, self._obs_t,
+            self._obs_aabb_rows,
             num_rob_tiles=self.prep.num_rob_tiles,
             num_obs_tiles=self.prep.num_obs_tiles,
             interpret=self._interpret,
@@ -680,6 +807,55 @@ class MegaKernelChecker:
             return 1 << (n - 1).bit_length()
         step = 1 << ((n - 1).bit_length() - 3)  # 1/8 granularity
         return round_up(n, step)
+
+    # Streaming chunk size: big enough to amortize dispatch, small enough
+    # that uploads of chunk i+1 overlap the kernel of chunk i.
+    STREAM_CHUNK = 16384
+
+    def check_valid(self, confs: np.ndarray, chunk: int | None = None):
+        """Throughput path: [N,6] configs -> (valid[N], coplanar[N]) bool.
+
+        Single-phase (the kernel's in-kernel broad phase handles misses) and
+        streamed: the batch is cut into fixed-shape chunks whose H2D upload,
+        kernel, and 1-byte/config packed D2H pipeline against each other via
+        JAX async dispatch — no host sync between phases, no survivor
+        re-upload. Same verdicts as ``check`` (tests assert it).
+        """
+        confs = validate_confs(confs)
+        n = confs.shape[0]
+        finite = np.isfinite(confs).all(axis=1)
+        if not finite.all():
+            out_v = np.zeros((n,), dtype=bool)
+            out_c = np.zeros((n,), dtype=bool)
+            if finite.any():
+                v, c = self.check_valid(confs[finite], chunk=chunk)
+                out_v[finite] = v
+                out_c[finite] = c
+            return out_v, out_c
+        chunk = chunk or self.STREAM_CHUNK
+        chunk = max(CONFS_PER_PROGRAM, chunk - chunk % CONFS_PER_PROGRAM)
+        outs = []
+        for lo in range(0, n, chunk):
+            part = confs[lo : lo + chunk]
+            if part.shape[0] < chunk:
+                # Pad rows far away: they exit at the in-kernel broad phase.
+                pad = np.zeros((chunk - part.shape[0], 6), dtype=np.float32)
+                pad[:, 0] = 1.0e9
+                part = np.concatenate([part, pad], axis=0)
+            outs.append(
+                _check_block_packed(
+                    jnp.asarray(part), self._obs_mesh, self._obs_grp,
+                    self._rob_base, self._obs_t, self._obs_aabb_rows,
+                    num_rob_tiles=self.prep.num_rob_tiles,
+                    num_obs_tiles=self.prep.num_obs_tiles,
+                    interpret=self._interpret,
+                )
+            )
+        # Concatenate on device: ONE device->host fetch for the whole batch
+        # (each fetch pays the link's fixed round-trip latency).
+        packed = np.asarray(outs[0] if len(outs) == 1
+                            else jnp.concatenate(outs))[:n]
+        return (packed & 1).astype(bool), (packed >> 1).astype(bool)
 
     def check(self, confs: np.ndarray, two_phase: bool = True):
         confs = validate_confs(confs)

@@ -59,6 +59,8 @@ class ShardedChecker:
         self._obs_t = jax.device_put(self.prep.obs_t, replicated)
         self._obs_mesh = jax.device_put(self.prep.obs_mesh_aabb, replicated)
         self._obs_grp = jax.device_put(self.prep.obs_group_aabbs, replicated)
+        self._obs_aabb_rows = jax.device_put(self.prep.obs_aabb_rows,
+                                             replicated)
         self._conf_sharding = NamedSharding(self.mesh, P(BATCH_AXIS))
 
         prep = self.prep
@@ -66,14 +68,15 @@ class ShardedChecker:
         @functools.partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(BATCH_AXIS), P(), P(), P(), P()),
+            in_specs=(P(BATCH_AXIS), P(), P(), P(), P(), P()),
             out_specs=(P(BATCH_AXIS), P()),
             # pallas_call out_shapes carry no varying-mesh-axis info.
             check_vma=False,
         )
-        def _sharded(confs, obs_mesh, obs_grp, rob_base, obs_t):
+        def _sharded(confs, obs_mesh, obs_grp, rob_base, obs_t,
+                     obs_aabb_rows):
             out = mk._check_block_impl(
-                confs, obs_mesh, obs_grp, rob_base, obs_t,
+                confs, obs_mesh, obs_grp, rob_base, obs_t, obs_aabb_rows,
                 num_rob_tiles=prep.num_rob_tiles,
                 num_obs_tiles=prep.num_obs_tiles,
                 interpret=interpret,
@@ -97,7 +100,8 @@ class ShardedChecker:
         """[B,6] (B divisible by num_devices*8) -> ([B,128] out, [3] totals)."""
         confs = jax.device_put(confs, self._conf_sharding)
         return self._sharded(confs, self._obs_mesh, self._obs_grp,
-                             self._rob_base, self._obs_t)
+                             self._rob_base, self._obs_t,
+                             self._obs_aabb_rows)
 
     def check(self, confs: np.ndarray):
         confs = validate_confs(confs)
