@@ -50,5 +50,10 @@ def easy10k():
 
 
 @pytest.fixture(scope="session")
+def samples10k():
+    return read_conf_file(assets.dataset_path("samples10k"))
+
+
+@pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(508)

@@ -62,6 +62,43 @@ def test_reads_reference_format(tmp_path):
     np.testing.assert_allclose(ds.confs[0, 0], -34.0693, rtol=1e-5)
 
 
+def test_header_counts_parsed(tmp_path):
+    p = tmp_path / "h.conf"
+    p.write_text(
+        "There are 2 valid configurations and 1 invalid configurations\n"
+        "0 0 0 0 0 0 1\n"
+        "1 1 1 0 0 0 1\n"
+        "2 2 2 0 0 0 0\n"
+    )
+    ds = read_conf_file(p)
+    assert (ds.header_valid, ds.header_invalid) == (2, 1)
+    assert ds.tags_match_header is True
+
+
+def test_header_tag_mismatch_detected(tmp_path):
+    # The reference's own 10,000samples.conf: header claims 7296 valid but
+    # every row tag is 0 (the FCL verdicts were never written back). The
+    # reader must surface the inconsistency, not silently trust either side.
+    p = tmp_path / "stale.conf"
+    p.write_text(
+        "There are 2 valid configurations and 0 invalid configurations\n"
+        "0 0 0 0 0 0 0\n"
+        "1 1 1 0 0 0 0\n"
+    )
+    ds = read_conf_file(p)
+    assert ds.header_valid == 2 and ds.num_valid == 0
+    assert ds.tags_match_header is False
+
+
+def test_headerless_file_has_no_header_counts(tmp_path):
+    p = tmp_path / "nh.conf"
+    p.write_text("0 0 0 0 0 0\n1 1 1 0 0 0\n")
+    ds = read_conf_file(p)
+    assert ds.valid is None
+    assert ds.header_valid is None
+    assert ds.tags_match_header is None
+
+
 def test_alpha_assets_load(alpha_meshes):
     robot, obstacle = alpha_meshes
     # Reference capacities: Utils_rai.h:98-99.
