@@ -24,6 +24,10 @@ import numpy as np
 def main():
     import jax
 
+    from robocheck_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from robocheck_tpu.io import assets
     from robocheck_tpu.io.conf import read_conf_file
     from robocheck_tpu.io.obj import load_obj
@@ -51,10 +55,20 @@ def main():
     valid, cop = checker.check_valid(confs)
 
     # Correctness gate (the reference's KERNEL BROKEN check,
-    # full-integration-test.cu:695-724).
+    # full-integration-test.cu:695-724). Files whose row tags disagree with
+    # their own header (e.g. the reference's 10,000samples.conf: header says
+    # 7296/2704 but every row tag is 0) are treated as untagged — diffing
+    # against stale tags would report thousands of spurious mismatches.
     mismatches = -1
-    if ds.valid is not None:
+    if ds.valid is not None and ds.tags_match_header is not False:
         mismatches = int((valid != ds.valid).sum())
+    elif ds.tags_match_header is False:
+        print(
+            f"warning: {ds_name} row tags disagree with its header "
+            f"({ds.num_valid} tagged valid vs header {ds.header_valid}); "
+            "skipping the golden mismatch gate",
+            file=sys.stderr,
+        )
 
     # Timed runs: min of 5, includes H2D/D2H.
     times = []

@@ -46,10 +46,16 @@ class TaggedConfs(NamedTuple):
     @property
     def tags_match_header(self) -> bool | None:
         """None if either side is absent; else whether the row tags add up
-        to the header's claimed counts."""
+        to the header's claimed counts (both the valid count and, when the
+        header supplies one, the invalid count — so a truncated or padded
+        file with a coincidentally right valid count is still flagged)."""
         if self.valid is None or self.header_valid is None:
             return None
-        return self.num_valid == self.header_valid
+        if self.num_valid != self.header_valid:
+            return False
+        if self.header_invalid is not None:
+            return len(self.valid) - self.num_valid == self.header_invalid
+        return True
 
 
 def read_conf_file(path: str | os.PathLike) -> TaggedConfs:

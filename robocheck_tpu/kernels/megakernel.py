@@ -819,7 +819,8 @@ class MegaKernelChecker:
         streamed: the batch is cut into fixed-shape chunks whose H2D upload,
         kernel, and 1-byte/config packed D2H pipeline against each other via
         JAX async dispatch — no host sync between phases, no survivor
-        re-upload. Same verdicts as ``check`` (tests assert it).
+        re-upload. Same verdicts as ``check``
+        (tests/test_megakernel.py::TestCheckValid asserts it).
         """
         confs = validate_confs(confs)
         n = confs.shape[0]

@@ -41,6 +41,16 @@ def main() -> int:
     print(f"read {len(ds.confs)} configurations from {args.conf_file}")
 
     golden = ds.valid
+    if golden is not None and ds.tags_match_header is False:
+        # Stale tags (e.g. the reference's 10,000samples.conf: header counts
+        # from an FCL run that was never written back to the rows). Diffing
+        # against them would be all noise; fall back to the oracle.
+        print(
+            f"warning: row tags disagree with the header "
+            f"({ds.num_valid} tagged valid vs header {ds.header_valid}); "
+            "treating the file as untagged and re-tagging with the oracle"
+        )
+        golden = None
     if args.oracle or golden is None:
         from robocheck_tpu.oracle import check_configs
 

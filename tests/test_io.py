@@ -90,6 +90,20 @@ def test_header_tag_mismatch_detected(tmp_path):
     assert ds.tags_match_header is False
 
 
+def test_header_invalid_count_mismatch_detected(tmp_path):
+    # A truncated file can keep the right valid count while losing invalid
+    # rows; the invalid count must be checked too.
+    p = tmp_path / "trunc.conf"
+    p.write_text(
+        "There are 1 valid configurations and 2 invalid configurations\n"
+        "0 0 0 0 0 0 1\n"
+        "1 1 1 0 0 0 0\n"
+    )
+    ds = read_conf_file(p)
+    assert ds.num_valid == ds.header_valid == 1
+    assert ds.tags_match_header is False
+
+
 def test_headerless_file_has_no_header_counts(tmp_path):
     p = tmp_path / "nh.conf"
     p.write_text("0 0 0 0 0 0\n1 1 1 0 0 0\n")

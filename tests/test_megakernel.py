@@ -124,6 +124,68 @@ def test_multiword_gate_masks(rng):
     np.testing.assert_array_equal(valid, gt)
 
 
+class TestCheckValid:
+    """The streamed throughput path (`check_valid`) is what bench.py times;
+    it must agree with `check` (two-phase) and the f64 oracle — including
+    the packed-uint8 decode, chunk padding, and the non-finite recursion."""
+
+    def test_matches_check_and_oracle_mixed(self, sphere_world, sphere_confs):
+        robot, obstacle = sphere_world
+        mk = MegaKernelChecker(robot, obstacle, interpret=True)
+        v_stream, c_stream = mk.check_valid(sphere_confs)
+        v_check, c_check, _, _ = mk.check(sphere_confs)
+        np.testing.assert_array_equal(v_stream, v_check)
+        np.testing.assert_array_equal(c_stream, c_check)
+        v_oracle = cpu_oracle.check_configs(robot, obstacle, sphere_confs)
+        np.testing.assert_array_equal(v_stream, v_oracle)
+
+    def test_non_divisible_multi_chunk(self, sphere_world):
+        # chunk=8 over 19 configs: two full chunks + a padded tail, and the
+        # multi-chunk device-side concatenation.
+        robot, obstacle = sphere_world
+        mk = MegaKernelChecker(robot, obstacle, interpret=True)
+        rng = np.random.default_rng(3)
+        confs = rng.uniform(-2.0, 2.0, (19, 6)).astype(np.float32)
+        v_stream, c_stream = mk.check_valid(confs, chunk=8)
+        v_check, c_check, _, _ = mk.check(confs)
+        np.testing.assert_array_equal(v_stream, v_check)
+        np.testing.assert_array_equal(c_stream, c_check)
+
+    def test_nonfinite_rows(self, sphere_world):
+        robot, obstacle = sphere_world
+        mk = MegaKernelChecker(robot, obstacle, interpret=True)
+        confs = np.zeros((6, 6), np.float32)
+        confs[0, 0] = np.nan
+        confs[2, 3] = np.inf
+        confs[4, 0] = 100.0  # far away -> valid
+        v, c = mk.check_valid(confs)
+        assert not v[0] and not v[2]  # non-finite poses are never valid
+        assert v[4]
+        v_check, *_ = mk.check(confs)
+        np.testing.assert_array_equal(v, v_check)
+
+    def test_all_miss_and_all_hit_chunks(self, sphere_world):
+        robot, obstacle = sphere_world
+        mk = MegaKernelChecker(robot, obstacle, interpret=True)
+        far = np.zeros((8, 6), np.float32)
+        far[:, 0] = 1000.0
+        near = np.zeros((8, 6), np.float32)
+        near[:, 0] = 1.0  # shells cross at |t| in (0.5, 2.5)
+        confs = np.concatenate([far, near])
+        v, c = mk.check_valid(confs, chunk=8)  # one all-miss, one all-hit
+        assert v[:8].all()
+        assert not v[8:].any()
+
+    def test_alpha_golden_slice(self, alpha_meshes, hard10k):
+        # Real meshes, tagged goldens (256-conf slice; full files run on TPU
+        # via bench.py and in the slow tier).
+        robot, obstacle = alpha_meshes
+        mk = MegaKernelChecker(robot, obstacle, interpret=True)
+        confs = hard10k.confs[:256]
+        v, _ = mk.check_valid(confs, chunk=64)
+        np.testing.assert_array_equal(v, hard10k.valid[:256])
+
+
 def test_batch_padding_roundtrip(sphere_world):
     robot, obstacle = sphere_world
     mk = MegaKernelChecker(robot, obstacle, interpret=True)
