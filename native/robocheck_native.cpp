@@ -15,6 +15,7 @@
 // Exposed as a C ABI consumed through ctypes (robocheck_tpu/io/native.py,
 // robocheck_tpu/oracle/native.py); pure-Python fallbacks exist for both.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -269,6 +270,98 @@ bool tri_tri_intersect(const Vec3 a[3], const Vec3 b[3]) {
   return !(hi1 < lo2 || hi2 < lo1);
 }
 
+// ---------------------------------------------------------------------------
+// Static AABB BVH over a triangle set (median split on the longest axis).
+//
+// The reference's oracle rides FCL's BVHModel<OBBRSS> (`Utils.cu:102-161`);
+// a linear Tr x To box scan is algorithmically weaker and flattered the
+// vs_baseline ratio. This BVH restores FCL-class asymptotics: per posed
+// robot triangle, traversal touches O(log To) boxes instead of To. Pruning
+// uses the exact same strict-inequality AABB-overlap condition as the linear
+// scan it replaces, and leaves run the identical tri_tri_intersect — the set
+// of tri-tri tests whose boxes overlap is unchanged, so verdicts are
+// bit-identical (tests assert this against the numpy oracle).
+// ---------------------------------------------------------------------------
+
+struct BvhNode {
+  double lo[3], hi[3];
+  // Internal: left child is node index + 1, right child is `right`.
+  // Leaf: right == -1, triangles [start, start + count).
+  int32_t right, start, count;
+};
+
+class Bvh {
+ public:
+  // tri_lo/tri_hi: [nt,3] per-triangle AABBs (any order; `order` maps
+  // BVH-local triangle slots back to caller triangle ids).
+  void build(const double* tri_lo, const double* tri_hi, int64_t nt,
+             int leaf_size = 4) {
+    order.resize(nt);
+    for (int64_t i = 0; i < nt; ++i) order[i] = (int32_t)i;
+    nodes.clear();
+    nodes.reserve(nt ? 2 * nt : 1);
+    if (nt) build_range(tri_lo, tri_hi, 0, (int32_t)nt, leaf_size);
+  }
+
+  bool empty() const { return nodes.empty(); }
+
+  std::vector<BvhNode> nodes;
+  std::vector<int32_t> order;
+
+ private:
+  int32_t build_range(const double* tlo, const double* thi, int32_t begin,
+                      int32_t end, int leaf_size) {
+    int32_t idx = (int32_t)nodes.size();
+    nodes.push_back(BvhNode{});
+    BvhNode& stub = nodes.back();
+    for (int ax = 0; ax < 3; ++ax) {
+      stub.lo[ax] = 1e300;
+      stub.hi[ax] = -1e300;
+    }
+    for (int32_t i = begin; i < end; ++i) {
+      const double* lo = tlo + order[i] * 3;
+      const double* hi = thi + order[i] * 3;
+      for (int ax = 0; ax < 3; ++ax) {
+        nodes[idx].lo[ax] = std::fmin(nodes[idx].lo[ax], lo[ax]);
+        nodes[idx].hi[ax] = std::fmax(nodes[idx].hi[ax], hi[ax]);
+      }
+    }
+    if (end - begin <= leaf_size) {
+      nodes[idx].right = -1;
+      nodes[idx].start = begin;
+      nodes[idx].count = end - begin;
+      return idx;
+    }
+    int ax = 0;
+    double best = -1;
+    for (int k = 0; k < 3; ++k) {
+      double ext = nodes[idx].hi[k] - nodes[idx].lo[k];
+      if (ext > best) {
+        best = ext;
+        ax = k;
+      }
+    }
+    int32_t mid = (begin + end) / 2;
+    std::nth_element(order.begin() + begin, order.begin() + mid,
+                     order.begin() + end, [&](int32_t a, int32_t b) {
+                       return tlo[a * 3 + ax] + thi[a * 3 + ax] <
+                              tlo[b * 3 + ax] + thi[b * 3 + ax];
+                     });
+    build_range(tlo, thi, begin, mid, leaf_size);
+    int32_t right = build_range(tlo, thi, mid, end, leaf_size);
+    nodes[idx].right = right;
+    nodes[idx].start = 0;
+    nodes[idx].count = 0;
+    return idx;
+  }
+};
+
+inline bool box_overlap(const double alo[3], const double ahi[3],
+                        const double blo[3], const double bhi[3]) {
+  return !(alo[0] > bhi[0] || blo[0] > ahi[0] || alo[1] > bhi[1] ||
+           blo[1] > ahi[1] || alo[2] > bhi[2] || blo[2] > ahi[2]);
+}
+
 }  // namespace
 
 // Oracle over a batch of configurations. Arrays are row-major:
@@ -301,6 +394,11 @@ int64_t rc_oracle_check(const double* rob_verts, const int32_t* rob_tris,
       mesh_hi[ax] = std::fmax(mesh_hi[ax], hi);
     }
   }
+
+  // Acceleration structure over the static obstacle, built once per batch
+  // (FCL builds its BVHModel once per mesh, `Utils.cu:119-130`).
+  Bvh bvh;
+  bvh.build(obs_lo.data(), obs_hi.data(), not_);
 
   std::vector<Vec3> rv(nrv);
   std::vector<Vec3> rc(nrt * 3);
@@ -355,19 +453,34 @@ int64_t rc_oracle_check(const double* rob_verts, const int32_t* rob_tris,
       }
     }
 
+    // Per posed robot triangle: obstacle-BVH traversal (box pruning is the
+    // same strict-inequality test as the old linear scan; leaves run the
+    // identical exact tri-tri predicate, so verdicts are unchanged).
     bool hit = false;
+    int32_t stack[64];
     for (int64_t tr = 0; tr < nrt && !hit; ++tr) {
       const double* alo = &rlo[tr * 3];
       const double* ahi = &rhi[tr * 3];
-      for (int64_t to = 0; to < not_; ++to) {
-        const double* blo = &obs_lo[to * 3];
-        const double* bhi = &obs_hi[to * 3];
-        if (alo[0] > bhi[0] || blo[0] > ahi[0] || alo[1] > bhi[1] ||
-            blo[1] > ahi[1] || alo[2] > bhi[2] || blo[2] > ahi[2])
-          continue;
-        if (tri_tri_intersect(&rc[tr * 3], &obs_c[to * 3])) {
-          hit = true;
-          break;
+      if (bvh.empty()) break;
+      int sp = 0;
+      stack[sp++] = 0;
+      while (sp && !hit) {
+        const BvhNode& node = bvh.nodes[stack[--sp]];
+        if (!box_overlap(alo, ahi, node.lo, node.hi)) continue;
+        if (node.right < 0) {
+          for (int32_t s = node.start; s < node.start + node.count; ++s) {
+            int32_t to = bvh.order[s];
+            if (!box_overlap(alo, ahi, &obs_lo[to * 3], &obs_hi[to * 3]))
+              continue;
+            if (tri_tri_intersect(&rc[tr * 3], &obs_c[to * 3])) {
+              hit = true;
+              break;
+            }
+          }
+        } else {
+          int32_t me = (int32_t)(&node - bvh.nodes.data());
+          stack[sp++] = node.right;
+          stack[sp++] = me + 1;
         }
       }
     }

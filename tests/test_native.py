@@ -55,6 +55,25 @@ def test_native_oracle_matches_numpy(rng):
     np.testing.assert_array_equal(v_native, v_numpy)
 
 
+def test_native_oracle_bvh_deep_traversal(rng):
+    # A large irregular triangle soup forces real BVH traversal (many levels,
+    # partial leaves, empty-overlap prunes). Verdicts must equal the numpy
+    # oracle's linear-scan semantics exactly.
+    from robocheck_tpu.models.shapes import triangle_soup
+
+    obstacle = triangle_soup(rng, 3000, extent=2.0)
+    robot = icosphere(1, radius=0.15)
+    confs = rng.uniform(-2.5, 2.5, size=(96, 6)).astype(np.float32)
+    confs[:, 3:6] = rng.uniform(-np.pi, np.pi, (96, 3)).astype(np.float32)
+    v_native = native.oracle_check(
+        robot.vertices, robot.triangles, obstacle.vertices,
+        obstacle.triangles, confs,
+    )
+    v_numpy = cpu_oracle.check_configs(robot, obstacle, confs)
+    np.testing.assert_array_equal(v_native, v_numpy)
+    assert 0 < v_native.sum() < len(confs)  # mixed verdicts, not degenerate
+
+
 def test_native_oracle_matches_goldens(alpha_meshes, hard10k):
     robot, obstacle = alpha_meshes
     n = 256
