@@ -213,8 +213,12 @@ def _tile_moller_rest(rob, obs, dist_o, dist_r):
 
 
 # Configurations processed per grid program (the pose/out block row count;
-# must satisfy the (8, 128) float32 tiling rule).
-CONFS_PER_PROGRAM = 8
+# must be a multiple of the f32 sublane count, 8). Measured on v5e: each
+# grid program carries ~7 us of fixed cost (prologue + block DMA + stage-1
+# latency chains), so more configs per program amortizes it — 32 puts the
+# all-miss floor at ~0.25 us/config while the derived-field scratch stays
+# ~3 MB of VMEM.
+CONFS_PER_PROGRAM = 32
 
 # Gate bitmask word size: bits per float-encoded word (exact in f32 <= 2^24;
 # 16 keeps headroom).
@@ -225,8 +229,23 @@ def _gate_words(num_obs_tiles: int) -> int:
     return (num_obs_tiles + _GATE_WORD_BITS - 1) // _GATE_WORD_BITS
 
 
+def _rob_any_words(num_rob_tiles: int) -> int:
+    return (num_rob_tiles + _GATE_WORD_BITS - 1) // _GATE_WORD_BITS
+
+
 def _misc_cols(num_rob_tiles: int, num_obs_tiles: int) -> int:
     return round_up(8 + num_rob_tiles * _gate_words(num_obs_tiles), LANE)
+
+
+def _ctz16(word):
+    """Count trailing zeros of a scalar int32 known to be nonzero and
+    < 2^16. Mosaic's scalar core has no popcount; isolate the lowest set bit
+    and binary-search its position with 4 mask tests (branchless)."""
+    low = word & -word
+    j = jnp.where((low & 0xAAAA) != 0, 1, 0)
+    j = j + jnp.where((low & 0xCCCC) != 0, 2, 0)
+    j = j + jnp.where((low & 0xF0F0) != 0, 4, 0)
+    return j + jnp.where((low & 0xFF00) != 0, 8, 0)
 
 
 def _kernel(
@@ -244,6 +263,8 @@ def _kernel(
     *,
     num_rob_tiles: int,
     num_obs_tiles: int,
+    sweep: bool = True,
+    stats: bool = True,
 ):
     # ---- Stage 1 (vectorized across the block's configurations):
     # transform pre-gathered corners; planes; mini-AABBs; broad flags. ----
@@ -359,7 +380,13 @@ def _kernel(
 
         # Col side: per robot tile i, count obs tri boxes touching its group
         # box, segment-reduced over obstacle tiles -> [CPB, n_obs_tiles].
+        # Also fold a per-config summary word (bit i = "robot tile i has any
+        # gate bit") into cols 1..r_words so the sweep's outer loop can
+        # iterate set bits only.
         misc_val = broad_col
+        r_words = _rob_any_words(num_rob_tiles)
+        rob_any = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
+                   for _ in range(r_words)]
         for i in range(num_rob_tiles):
             sl = slice(i * LANE, (i + 1) * LANE)
             rg_lo = [jnp.min(los[k][:, sl], axis=1, keepdims=True)
@@ -384,145 +411,234 @@ def _kernel(
                 words[w] = words[w] + gate.astype(jnp.float32) * jnp.float32(
                     1 << b
                 )
+            any_i = words[0]
+            for w in range(1, n_words):
+                any_i = any_i + words[w]
+            wi, bi = divmod(i, _GATE_WORD_BITS)
+            rob_any[wi] = rob_any[wi] + (any_i > 0.0).astype(
+                jnp.float32
+            ) * jnp.float32(1 << bi)
             for w in range(n_words):
                 misc_val = jnp.where(col == 8 + i * n_words + w, words[w],
                                      misc_val)
+        for w in range(r_words):
+            misc_val = jnp.where(col == 1 + w, rob_any[w], misc_val)
         misc[...] = misc_val
 
     # ---- Stage 2+3 per configuration: gated tile sweep. ----
+    # sweep=False is a profiling knob (scripts/roofline.py): stage 1 +
+    # epilogue only, so (full - nosweep) isolates the sweep's cost.
     def config_body(cc, _):
-        _one_config(
-            cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d, misc,
-            num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
-        )
+        if sweep:
+            _one_config(
+                cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d,
+                misc, num_rob_tiles=num_rob_tiles,
+                num_obs_tiles=num_obs_tiles, stats=stats,
+            )
+        else:
+            broad = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
+            ccol = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+            row = jnp.where(ccol == 0, 1, 0)
+            row = jnp.where(ccol == 3, broad.astype(jnp.int32), row)
+            out_ref[pl.ds(cc, 1), :] = row
         return 0
 
-    jax.lax.fori_loop(0, CONFS_PER_PROGRAM, config_body, 0)
+    # All-miss programs (the sparse-dataset common case) write the whole
+    # output block in one vectorized store instead of 32 serial per-config
+    # epilogues.
+    @pl.when(jnp.logical_not(any_broad))
+    def _():
+        ocol = jax.lax.broadcasted_iota(
+            jnp.int32, (CONFS_PER_PROGRAM, LANE), 1
+        )
+        out_ref[...] = jnp.where(ocol == 0, 1, 0)
+
+    @pl.when(any_broad)
+    def _():
+        jax.lax.fori_loop(0, CONFS_PER_PROGRAM, config_body, 0)
 
 
 def _one_config(
     cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d, misc,
-    *, num_rob_tiles: int, num_obs_tiles: int,
+    *, num_rob_tiles: int, num_obs_tiles: int, stats: bool = True,
 ):
     broad_hit = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
 
-    def rrow_at(r, roff):
-        # [1, 128] slice of this configuration's derived-field scratch.
-        return rob_d[pl.ds(cc, 1), r : r + 1, roff : roff + LANE][0]
-
-    # Sweep robot tiles (outer, statically unrolled — enables static scratch
-    # addressing and static bitmask columns) x obstacle tiles (inner fori).
-    # The level-1.5 gate was precomputed vectorized in stage 1; per obstacle
-    # tile only a bit test remains.
-    zero_carry = (jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
-                  jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    # Sweep only the SET gate bits: the outer loop pops robot tiles from the
+    # stage-1 summary word (bit i = robot tile i has any gated obstacle
+    # tile), the inner loop pops obstacle tiles from that robot tile's gate
+    # word. On the hard dataset a mean of ~4 of 64 (rob, obs) tile pairs are
+    # gated in — iterating bits instead of the full grid removes ~94% of the
+    # sweep's scalar-core work (measured as the dominant per-config cost).
+    # The Moller tile body is instantiated once per gate word (one word for
+    # meshes <= 2048 triangles), keeping Mosaic compile time bounded.
+    if stats:
+        zero_carry = (jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
+                      jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    else:
+        zero_carry = (jnp.bool_(False), jnp.bool_(False))
 
     n_words = _gate_words(num_obs_tiles)
+    r_words = _rob_any_words(num_rob_tiles)
 
-    def rob_tile(i, carry):
-        base = 8 + i * n_words
-        words = [
-            misc[pl.ds(cc, 1), base + w : base + w + 1][0, 0].astype(jnp.int32)
-            for w in range(n_words)
-        ]
-        any_bits = words[0]
-        for w in range(1, n_words):
-            any_bits = any_bits | words[w]
+    def load_words(i):
+        # Gate-word loads need a static lane column -> switch over tiles.
+        def mk(i0):
+            def branch():
+                base = 8 + i0 * n_words
+                return tuple(
+                    misc[pl.ds(cc, 1), base + w : base + w + 1][0, 0]
+                    .astype(jnp.int32)
+                    for w in range(n_words)
+                )
+            return branch
+        return jax.lax.switch(i, [mk(i0) for i0 in range(num_rob_tiles)])
 
-        def run_rob(carry):
-            roff = i * LANE
-            # Hoist this robot tile's 13 field rows + mask out of the inner
-            # obstacle loop (loaded once, reused across all obstacle tiles).
-            rfield = {"nx": rrow_at(_R_N, roff), "ny": rrow_at(_R_N + 1, roff),
-                      "nz": rrow_at(_R_N + 2, roff), "d": rrow_at(_R_D, roff)}
+    def eval_rob_tile(i, carry):
+        words = load_words(i)
+        roff = pl.multiple_of(i * LANE, LANE)
+
+        # ONE wide dynamic load for this robot tile's 19 field rows ([1, 24,
+        # 128] block), sliced in-register — 19 serialized address-dependent
+        # [1, 128] loads were a measured ~40% of the sweep's cost.
+        rblock = rob_d[pl.ds(cc, 1), :, pl.ds(roff, LANE)][0]  # [24, 128]
+
+        def rrow_at(r):
+            return rblock[r : r + 1, :]
+
+        rfield = {"nx": rrow_at(_R_N), "ny": rrow_at(_R_N + 1),
+                  "nz": rrow_at(_R_N + 2), "d": rrow_at(_R_D)}
+        for c in range(3):
+            rfield[f"c{c}x"] = rrow_at(_R_C + 3 * c + 0)
+            rfield[f"c{c}y"] = rrow_at(_R_C + 3 * c + 1)
+            rfield[f"c{c}z"] = rrow_at(_R_C + 3 * c + 2)
+        r_lo = [rrow_at(_R_LO + k) for k in range(3)]
+        r_hi = [rrow_at(_R_HI + k) for k in range(3)]
+        tile_mask = rob_base_ref[9:10, pl.ds(roff, LANE)] > 0.0
+
+        def tile(j, carry3):
+            ooff = pl.multiple_of(j * LANE, LANE)
+
+            # One wide [128, 24] load for the obstacle tile, column-sliced
+            # in-register.
+            oblock = obs_t_ref[pl.ds(ooff, LANE), :]
+
+            def ocol(c):
+                return oblock[:, c : c + 1]
+
+            mask = tile_mask
+            for k in range(3):
+                mask &= r_lo[k] <= ocol(_O_HI + k)
+                mask &= ocol(_O_LO + k) <= r_hi[k]
+
+            obs_fields = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
+                          "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
             for c in range(3):
-                rfield[f"c{c}x"] = rrow_at(_R_C + 3 * c + 0, roff)
-                rfield[f"c{c}y"] = rrow_at(_R_C + 3 * c + 1, roff)
-                rfield[f"c{c}z"] = rrow_at(_R_C + 3 * c + 2, roff)
-            r_lo = [rrow_at(_R_LO + k, roff) for k in range(3)]
-            r_hi = [rrow_at(_R_HI + k, roff) for k in range(3)]
-            tile_mask = rob_base_ref[9:10, roff : roff + LANE] > 0.0
+                obs_fields[f"c{c}x"] = ocol(_O_C + 3 * c + 0)
+                obs_fields[f"c{c}y"] = ocol(_O_C + 3 * c + 1)
+                obs_fields[f"c{c}z"] = ocol(_O_C + 3 * c + 2)
 
-            def obs_tile_body(j, carry2):
-                def run_obs(carry2):
-                    wsel = words[0]
-                    for w in range(1, n_words):
-                        wsel = jnp.where(j // _GATE_WORD_BITS == w, words[w],
-                                         wsel)
-                    gate = ((wsel >> (j % _GATE_WORD_BITS)) & 1) == 1
+            if not stats:
+                # Throughput flow (the packed path): same gating as the
+                # stats path (mask -> planes -> interval; unconditional
+                # plane evaluation measured slower than the any(mask) sync
+                # it saves) minus the pair-count reduction.
+                hit, cop = carry3
 
-                    def tile(carry3):
-                        hit, cop, npairs, nfull, ngate, nrest = carry3
-                        ooff = pl.multiple_of(j * LANE, LANE)
+                def full2(c4):
+                    dist_o, dist_r, live = _tile_planes(rfield, obs_fields)
+                    live = live & mask
 
-                        def ocol(c):
-                            return obs_t_ref[pl.ds(ooff, LANE), c : c + 1]
-
-                        mask = tile_mask
-                        for k in range(3):
-                            mask &= r_lo[k] <= ocol(_O_HI + k)
-                            mask &= ocol(_O_LO + k) <= r_hi[k]
-
-                        def full(c4):
-                            hit, cop, npairs, nfull, ngate, nrest = c4
-                            count = jnp.sum(mask.astype(jnp.int32))
-                            obs = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
-                                   "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
-                            for c in range(3):
-                                obs[f"c{c}x"] = ocol(_O_C + 3 * c + 0)
-                                obs[f"c{c}y"] = ocol(_O_C + 3 * c + 1)
-                                obs[f"c{c}z"] = ocol(_O_C + 3 * c + 2)
-                            # Stage a: plane separation (cheap). Pairs with a
-                            # separating plane can neither collide nor count
-                            # as live-coplanar, so an all-separated tile
-                            # skips the expensive interval stage exactly.
-                            dist_o, dist_r, live = _tile_planes(rfield, obs)
-                            live &= mask
-
-                            def rest(c5):
-                                hit, cop, npairs, nfull, ngate, nrest = c5
-                                isect_t, coplanar = _tile_moller_rest(
-                                    rfield, obs, dist_o, dist_r
-                                )
-                                return (
-                                    hit | jnp.any(isect_t & live),
-                                    cop | jnp.any(coplanar & live),
-                                    npairs, nfull, ngate, nrest + 1,
-                                )
-
-                            c4 = (hit, cop, npairs + count, nfull + 1, ngate,
-                                  nrest)
-                            return jax.lax.cond(jnp.any(live), rest,
-                                                lambda c5: c5, c4)
-
-                        return jax.lax.cond(
-                            jnp.any(mask), full, lambda c4: c4,
-                            (hit, cop, npairs, nfull, ngate + 1, nrest),
+                    def rest2(c5):
+                        hit, cop = c5
+                        isect_t, coplanar = _tile_moller_rest(
+                            rfield, obs_fields, dist_o, dist_r
                         )
+                        return (hit | jnp.any(isect_t & live),
+                                cop | jnp.any(coplanar & live))
 
-                    return jax.lax.cond(gate, tile, lambda c3: c3, carry2)
+                    return jax.lax.cond(jnp.any(live), rest2, lambda c: c,
+                                        c4)
 
-                hit = carry2[0]
-                return jax.lax.cond(hit, lambda c2: c2, run_obs, carry2)
+                return jax.lax.cond(jnp.any(mask), full2, lambda c4: c4,
+                                    (hit, cop))
 
-            return jax.lax.fori_loop(0, num_obs_tiles, obs_tile_body, carry)
+            hit, cop, npairs, nfull, ngate, nrest = carry3
 
-        hit = carry[0]
-        return jax.lax.cond(hit | (any_bits == 0), lambda c: c, run_rob,
-                            carry)
+            def full(c4):
+                hit, cop, npairs, nfull, ngate, nrest = c4
+                count = jnp.sum(mask.astype(jnp.int32))
+                # Stage a: plane separation (cheap). Pairs with a separating
+                # plane can neither collide nor count as live-coplanar, so
+                # an all-separated tile skips the expensive interval stage
+                # exactly.
+                dist_o, dist_r, live = _tile_planes(rfield, obs_fields)
+                live &= mask
+
+                def rest(c5):
+                    hit, cop, npairs, nfull, ngate, nrest = c5
+                    isect_t, coplanar = _tile_moller_rest(
+                        rfield, obs_fields, dist_o, dist_r
+                    )
+                    return (
+                        hit | jnp.any(isect_t & live),
+                        cop | jnp.any(coplanar & live),
+                        npairs, nfull, ngate, nrest + 1,
+                    )
+
+                c4 = (hit, cop, npairs + count, nfull + 1, ngate, nrest)
+                return jax.lax.cond(jnp.any(live), rest, lambda c5: c5, c4)
+
+            return jax.lax.cond(
+                jnp.any(mask), full, lambda c4: c4,
+                (hit, cop, npairs, nfull, ngate + 1, nrest),
+            )
+
+        carry2 = carry
+        for w in range(n_words):
+
+            def obs_cond(state):
+                word, c = state
+                return (word != 0) & jnp.logical_not(c[0])
+
+            def obs_body(state, w=w):
+                word, c = state
+                j = w * _GATE_WORD_BITS + _ctz16(word)
+                return (word & (word - 1), tile(j, c))
+
+            _, carry2 = jax.lax.while_loop(obs_cond, obs_body,
+                                           (words[w], carry2))
+        return carry2
 
     def run_tiles():
         carry = zero_carry
-        for i in range(num_rob_tiles):
-            carry = rob_tile(i, carry)
+        for w in range(r_words):
+            rw0 = misc[pl.ds(cc, 1), 1 + w : 2 + w][0, 0].astype(jnp.int32)
+
+            def rob_cond(state):
+                rw, c = state
+                return (rw != 0) & jnp.logical_not(c[0])
+
+            def rob_body(state, w=w):
+                rw, c = state
+                i = w * _GATE_WORD_BITS + _ctz16(rw)
+                return (rw & (rw - 1), eval_rob_tile(i, c))
+
+            _, carry = jax.lax.while_loop(rob_cond, rob_body, (rw0, carry))
         return carry
 
-    hit, cop, npairs, nfull, ngate, nrest = jax.lax.cond(
-        broad_hit, run_tiles, lambda: zero_carry
-    )
+    carry_out = jax.lax.cond(broad_hit, run_tiles, lambda: zero_carry)
+    if stats:
+        hit, cop, npairs, nfull, ngate, nrest = carry_out
+    else:
+        hit, cop = carry_out
+        npairs = nfull = ngate = nrest = jnp.int32(0)
 
+    # Full-lane-width row store: narrow ([1, 8]) or SMEM scalar stores both
+    # sent Mosaic compile time pathological (~10x); [1, 128] is the fast
+    # layout, and the impl wrapper trims to OUT_COLS on device.
     col = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
-    out = jnp.where(col == 0, (~hit).astype(jnp.int32), 0)
+    out = jnp.where(col == 0, jnp.logical_not(hit).astype(jnp.int32), 0)
     out = jnp.where(col == 1, cop.astype(jnp.int32), out)
     out = jnp.where(col == 2, npairs, out)
     out = jnp.where(col == 3, broad_hit.astype(jnp.int32), out)
@@ -617,6 +733,10 @@ class MegaKernelPrep:
                 f"robot / {obs_tv.shape[0]} obstacle triangles); use "
                 f"ops.pipeline.CollisionWorld for oversized meshes"
             )
+        # Robot-tile summary words live in misc cols 1..7 (col 0 = broad
+        # flag, col 8+ = gate words). The VMEM budget binds first in
+        # practice; this is a belt-and-braces guard.
+        assert _rob_any_words(tr // LANE) <= 7, tr
 
         return MegaKernelPrep(
             rob_base=rob_base,
@@ -630,16 +750,17 @@ class MegaKernelPrep:
 
 
 @functools.partial(jax.jit, static_argnames=("num_rob_tiles", "num_obs_tiles",
-                                             "interpret"))
+                                             "interpret", "sweep", "stats"))
 def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
                obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
-               interpret=False):
+               interpret=False, sweep=True, stats=True):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
     tr = rob_base.shape[1]
     to = obs_t.shape[0]
     kernel = functools.partial(
-        _kernel, num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles
+        _kernel, num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
+        sweep=sweep, stats=stats,
     )
     return pl.pallas_call(
         kernel,
@@ -685,7 +806,7 @@ def poses_from_confs(confs: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-# Columns of the (trimmed) kernel output.
+# Columns of the kernel output (an SMEM block, so no trimming pass needed).
 # 0=valid, 1=coplanar, 2=num_pairs (mini-AABB-overlapping), 3=broad,
 # 4=nfull (tiles that ran the plane stage), 5=ngate (tiles gated off by the
 # empty mini-AABB mask), 6=nrest (tiles that ran the interval stage).
@@ -701,8 +822,7 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
 
     Trimming to OUT_COLS on-device matters: the kernel's [B, 128] int32
     output would otherwise cross the device->host link 16x wider than
-    needed (profiled as the dominant cost of a hard-dataset run).
-    """
+    needed (profiled as the dominant cost of a hard-dataset run)."""
     out = _mega_call(
         poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
         obs_aabb_rows,
@@ -713,10 +833,13 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
 
 
 @functools.partial(jax.jit, static_argnames=("num_rob_tiles", "num_obs_tiles",
-                                             "interpret"))
+                                             "interpret", "sweep"))
 def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
                         obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
-                        interpret=False):
+                        interpret=False, sweep=True):
+    # stats=False: verdict bits only — drops the per-tile pair-count
+    # reduction and one cond level per gated tile (a measured ~2x sweep
+    # win); the impl path keeps full counters for the stats surface.
     """Like `_check_block_impl` but returns a [B] uint8 packed verdict
     (bit 0 = valid, bit 1 = coplanar-pair-seen): 1 byte/config over the
     device->host link instead of 32 — the link, not the kernel, limits
@@ -725,7 +848,7 @@ def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
         poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
         obs_aabb_rows,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
-        interpret=interpret,
+        interpret=interpret, sweep=sweep, stats=False,
     )
     return (out[:, 0] | (out[:, 1] << 1)).astype(jnp.uint8)
 

@@ -220,9 +220,11 @@ class CollisionWorld:
     def check(self, confs: np.ndarray, return_result: bool = False):
         """Check a host batch; returns ``valid[N]`` (True = collision-free).
 
-        Pads to the compiled block size, streams blocks through the jitted
-        pipeline, resolves coplanar flags via the float64 oracle, and re-runs
-        overflowed configurations with a widened pair buffer.
+        Pads to the compiled block size and streams blocks through the jitted
+        pipeline. Configurations flagged coplanar or whose pair buffer
+        overflowed are resolved by the float64 oracle (exact semantics, so
+        both rare fixups share one code path; disable with
+        ``config.resolve_coplanar=False`` to get the raw flags instead).
         """
         confs = validate_confs(confs)
         n = confs.shape[0]

@@ -94,6 +94,24 @@ class ShardedChecker:
             return out, totals
 
         self._sharded = jax.jit(_sharded)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(P(BATCH_AXIS), P(), P(), P(), P(), P()),
+            out_specs=P(BATCH_AXIS),
+            check_vma=False,
+        )
+        def _sharded_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
+                            obs_aabb_rows):
+            return mk._check_block_packed(
+                confs, obs_mesh, obs_grp, rob_base, obs_t, obs_aabb_rows,
+                num_rob_tiles=prep.num_rob_tiles,
+                num_obs_tiles=prep.num_obs_tiles,
+                interpret=interpret,
+            )
+
+        self._sharded_packed = jax.jit(_sharded_packed)
         self._block_multiple = n_dev * mk.CONFS_PER_PROGRAM
 
     def check_block(self, confs: jnp.ndarray):
@@ -108,7 +126,11 @@ class ShardedChecker:
         n = confs.shape[0]
         pad = (-n) % self._block_multiple
         if pad:
-            confs = np.pad(confs, ((0, pad), (0, 0)))
+            # Padding rows sit far away and exit at the in-kernel broad
+            # phase (an all-zero pad row would run the full narrow phase).
+            tail = np.zeros((pad, 6), dtype=np.float32)
+            tail[:, 0] = 1.0e9
+            confs = np.concatenate([confs, tail], axis=0)
         out, _ = self.check_block(jnp.asarray(confs))
         out = np.asarray(out)[:n]
         return (
@@ -117,3 +139,50 @@ class ShardedChecker:
             out[:, 2],
             out[:, 3].astype(bool),
         )
+
+    # Streaming chunk size per device (matches the single-chip checker's
+    # dispatch-vs-overlap sweet spot).
+    STREAM_CHUNK_PER_DEVICE = 16384
+
+    def check_valid(self, confs: np.ndarray, chunk: int | None = None):
+        """Throughput path, sharded: [N,6] -> (valid[N], coplanar[N]) bool.
+
+        The multi-chip twin of ``MegaKernelChecker.check_valid``: the batch
+        is cut into fixed-shape chunks laid out along the mesh's batch axis;
+        each chunk's H2D scatter, per-shard fused kernel, and packed
+        1-byte/config gather pipeline against each other via JAX async
+        dispatch, and all chunks are concatenated on device for a single
+        host fetch. Verdicts are identical to the single-chip path (same
+        kernel, same FP order; tests/test_sharding.py asserts it).
+        """
+        confs = validate_confs(confs)
+        n = confs.shape[0]
+        finite = np.isfinite(confs).all(axis=1)
+        if not finite.all():
+            out_v = np.zeros((n,), dtype=bool)
+            out_c = np.zeros((n,), dtype=bool)
+            if finite.any():
+                v, c = self.check_valid(confs[finite], chunk=chunk)
+                out_v[finite] = v
+                out_c[finite] = c
+            return out_v, out_c
+        chunk = chunk or self.STREAM_CHUNK_PER_DEVICE * self.mesh.devices.size
+        chunk = max(self._block_multiple,
+                    chunk - chunk % self._block_multiple)
+        outs = []
+        for lo in range(0, n, chunk):
+            part = confs[lo : lo + chunk]
+            if part.shape[0] < chunk:
+                pad = np.zeros((chunk - part.shape[0], 6), dtype=np.float32)
+                pad[:, 0] = 1.0e9  # far away: exits at the broad phase
+                part = np.concatenate([part, pad], axis=0)
+            part = jax.device_put(part, self._conf_sharding)
+            outs.append(
+                self._sharded_packed(
+                    part, self._obs_mesh, self._obs_grp, self._rob_base,
+                    self._obs_t, self._obs_aabb_rows,
+                )
+            )
+        packed = np.asarray(outs[0] if len(outs) == 1
+                            else jnp.concatenate(outs))[:n]
+        return (packed & 1).astype(bool), (packed >> 1).astype(bool)

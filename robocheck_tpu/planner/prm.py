@@ -37,6 +37,9 @@ class PRMResult(NamedTuple):
     num_vertices: int
     num_edges_checked: int
     num_confs_checked: int
+    # How far the start component reaches toward the goal under the weighted
+    # metric (0.0 when a path exists) — "how far did we get" on failures.
+    closest_to_goal: float = float("inf")
 
 
 def _conf_distance(a: np.ndarray, b: np.ndarray, rot_scale: float) -> np.ndarray:
@@ -107,16 +110,31 @@ class PRMPlanner:
         n = len(verts)
         confs_checked = len(valid)
 
-        # k-NN candidate edges under the weighted metric.
-        d = _conf_distance(verts[:, None, :].astype(np.float64),
-                           verts[None, :, :].astype(np.float64), cfg.rot_scale)
-        np.fill_diagonal(d, np.inf)
-        nbrs = np.argsort(d, axis=1)[:, : cfg.k_neighbors]
-        edges = set()
+        # k-NN candidate edges under the weighted metric, computed in row
+        # chunks (O(n * chunk) memory, argpartition per chunk) — a dense
+        # [n, n] matrix is 3.2 GB at n = 20k and was the layer's scaling
+        # wall.
+        k = min(cfg.k_neighbors, n - 1)
+        v64 = verts.astype(np.float64)
+        nbrs = np.empty((n, k), np.int64)
+        nbr_d = np.empty((n, k), np.float64)
+        row_chunk = max(1, min(n, (1 << 22) // max(n, 1)))  # ~32 MB rows
+        for s in range(0, n, row_chunk):
+            e = min(s + row_chunk, n)
+            dd = _conf_distance(v64[s:e, None, :], v64[None, :, :],
+                                cfg.rot_scale)  # [rows, n]
+            dd[np.arange(e - s), np.arange(s, e)] = np.inf  # self-distance
+            idx = np.argpartition(dd, k - 1, axis=1)[:, :k]
+            dsel = np.take_along_axis(dd, idx, axis=1)
+            order = np.argsort(dsel, axis=1)
+            nbrs[s:e] = np.take_along_axis(idx, order, axis=1)
+            nbr_d[s:e] = np.take_along_axis(dsel, order, axis=1)
+        edge_w: dict[tuple[int, int], float] = {}
         for i in range(n):
-            for j in nbrs[i]:
-                edges.add((min(i, int(j)), max(i, int(j))))
-        edges = sorted(edges)
+            for jj, dj in zip(nbrs[i], nbr_d[i]):
+                key = (i, int(jj)) if i < jj else (int(jj), i)
+                edge_w[key] = float(dj)
+        edges = sorted(edge_w)
 
         # 2. Edge validation — one giant interpolation batch.
         interp = np.concatenate(
@@ -132,7 +150,7 @@ class PRMPlanner:
         adj: dict[int, list[tuple[int, float]]] = {i: [] for i in range(n)}
         for (i, j), ok in zip(edges, evalid):
             if ok:
-                w = float(d[i, j])
+                w = edge_w[(i, j)]
                 adj[i].append((j, w))
                 adj[j].append((i, w))
 
@@ -153,9 +171,15 @@ class PRMPlanner:
                     heapq.heappush(pq, (nd, v))
 
         if 1 not in dist:
-            return PRMResult(None, n, len(edges), confs_checked)
+            reached = np.fromiter(dist.keys(), dtype=np.int64)
+            closest = float(
+                _conf_distance(verts[reached].astype(np.float64),
+                               verts[1].astype(np.float64),
+                               cfg.rot_scale).min()
+            )
+            return PRMResult(None, n, len(edges), confs_checked, closest)
         path_idx = [1]
         while path_idx[-1] != 0:
             path_idx.append(prev[path_idx[-1]])
         path = verts[path_idx[::-1]]
-        return PRMResult(path, n, len(edges), confs_checked)
+        return PRMResult(path, n, len(edges), confs_checked, 0.0)

@@ -59,6 +59,10 @@ class SQPConfig:
     grid_resolution: int = 64
     certify_step: float | None = None
     seed: int = 0
+    # Periodic checkpoint of (trajectory, penalty, trust, iter) so long runs
+    # survive preemption (`runtime/checkpoint.py`); None disables.
+    checkpoint_path: str | None = None
+    checkpoint_every: int = 10  # outer iterations between checkpoints
 
 
 class SQPResult(NamedTuple):
@@ -164,11 +168,43 @@ class SQPOptimizer:
         dvalid, *_ = self.checker.check(dense)
         return bool(dvalid.all())
 
+    def _checkpoint(self, qj, mu, delta, outer, rnd) -> None:
+        if self.cfg.checkpoint_path is None:
+            return
+        from ..runtime import checkpoint
+
+        checkpoint.save(
+            self.cfg.checkpoint_path,
+            {"q": np.asarray(qj)},
+            meta={"mu": float(mu), "delta": float(delta),
+                  "outer": int(outer), "round": int(rnd)},
+        )
+
     def plan(self, start: np.ndarray, goal: np.ndarray,
-             init: np.ndarray | None = None) -> SQPResult:
+             init: np.ndarray | None = None,
+             resume: bool = False) -> SQPResult:
+        """Plan start -> goal. With ``resume=True`` and an existing
+        ``cfg.checkpoint_path``, continues from the checkpointed trajectory,
+        penalty, and trust region instead of the straight-line init."""
         cfg = self.cfg
         start = np.asarray(start, np.float32)
         goal = np.asarray(goal, np.float32)
+        mu = cfg.penalty_init
+        delta = cfg.trust_init
+        outer = 0
+        start_round = 0
+        if resume and cfg.checkpoint_path is not None:
+            from ..runtime import checkpoint
+            import os as _os
+
+            if _os.path.exists(cfg.checkpoint_path):
+                arrays, meta = checkpoint.load(cfg.checkpoint_path)
+                init = arrays["q"]
+                if meta:
+                    mu = meta.get("mu", mu)
+                    delta = meta.get("delta", delta)
+                    outer = meta.get("outer", 0)
+                    start_round = meta.get("round", 0)
         if init is None:
             t = np.linspace(0, 1, cfg.num_waypoints)[:, None]
             q = ((1 - t) * start[None] + t * goal[None]).astype(np.float32)
@@ -180,10 +216,7 @@ class SQPOptimizer:
             q[0], q[-1] = start, goal
 
         qj = jnp.asarray(q)
-        mu = cfg.penalty_init
-        delta = cfg.trust_init
-        outer = 0
-        for _round in range(cfg.max_penalty_rounds):
+        for rnd in range(start_round, cfg.max_penalty_rounds):
             for _ in range(cfg.max_outer):
                 outer += 1
                 g0 = self._residuals(qj)
@@ -199,11 +232,14 @@ class SQPOptimizer:
                     delta = delta * cfg.trust_shrink
                     if delta < cfg.trust_min:
                         break
+                if outer % cfg.checkpoint_every == 0:
+                    self._checkpoint(qj, mu, delta, outer, rnd)
             traj = np.asarray(qj)
             if self._certify(traj):
                 return SQPResult(traj, True, outer, self._merit(qj, mu))
             mu *= cfg.penalty_growth
             delta = cfg.trust_init
+            self._checkpoint(qj, mu, delta, outer, rnd + 1)
         traj = np.asarray(qj)
         return SQPResult(traj, self._certify(traj), outer,
                          self._merit(qj, mu))

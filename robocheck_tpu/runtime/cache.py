@@ -27,7 +27,7 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     cache_dir = (
         cache_dir
         or os.environ.get("JAX_COMPILATION_CACHE_DIR")
-        or _DEFAULT_DIR
+        or os.path.join(_DEFAULT_DIR, jax.default_backend())
     )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

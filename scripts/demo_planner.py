@@ -46,7 +46,8 @@ def wall_demo(interpret: bool) -> int:
     return 0 if res.certified else 1
 
 
-def alpha_demo(interpret: bool) -> int:
+def alpha_demo(interpret: bool, plan: bool = False,
+               samples: int = 4096) -> int:
     from robocheck_tpu.io import assets
     from robocheck_tpu.io.obj import load_obj
     from robocheck_tpu.io.parasol import read_query
@@ -68,17 +69,66 @@ def alpha_demo(interpret: bool) -> int:
     dvalid, *_ = checker.check(dense)
     print(f"straight-line sweep: {int(dvalid.sum())}/{len(dvalid)} "
           f"samples collision-free")
-    return 0
+    if not plan:
+        return 0
+
+    # Attempt the real puzzle: batch PRM over SE(3) samples, SQP smoothing
+    # if a path is found. The alpha 1.0 puzzle's narrow passage needs a
+    # coordinated rotate-while-translate; uniform PRM at this sample count
+    # is expected to get close but not through — the point is to measure
+    # and report how far the TPU-batched planner gets.
+    import time as _time
+
+    from robocheck_tpu.planner import PRMConfig, PRMPlanner
+
+    prm = PRMPlanner(robot, obstacle,
+                     PRMConfig(num_samples=samples, k_neighbors=12,
+                               edge_resolution=16),
+                     checker=checker)
+    t0 = _time.perf_counter()
+    res = prm.plan(query[0], query[1])
+    dt = _time.perf_counter() - t0
+    print(f"PRM: {res.num_vertices} valid vertices, "
+          f"{res.num_edges_checked} edges, "
+          f"{res.num_confs_checked} collision checks in {dt:.1f}s "
+          f"({res.num_confs_checked / dt:,.0f} checks/s)")
+    if res.path is None:
+        print(f"no path at {samples} samples; start component reaches "
+              f"within {res.closest_to_goal:.2f} (weighted metric) of the "
+              f"goal — the narrow passage needs rarer samples "
+              f"(try --samples {4 * samples})")
+        return 1
+    print(f"PRM path with {len(res.path)} waypoints; smoothing with SQP...")
+    from robocheck_tpu.planner import SQPConfig, SQPOptimizer
+    from robocheck_tpu.planner.trajopt import resample
+
+    opt = SQPOptimizer(robot, obstacle,
+                       SQPConfig(num_waypoints=max(32, len(res.path)),
+                                 max_outer=20),
+                       checker=checker, interpret=interpret)
+    init = resample(res.path, opt.cfg.num_waypoints, opt.cfg.rot_scale)
+    sres = opt.plan(query[0], query[1], init=init)
+    print(f"SQP: certified={sres.certified} after {sres.outer_iters} "
+          f"outer iterations, merit={sres.merit:.3f}")
+    return 0 if sres.certified else 1
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--alpha", action="store_true")
+    ap.add_argument("--plan", action="store_true",
+                    help="with --alpha: attempt the puzzle with PRM + SQP")
+    ap.add_argument("--samples", type=int, default=4096)
     args = ap.parse_args()
     import jax
 
+    from robocheck_tpu.runtime.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     interpret = jax.default_backend() != "tpu"
-    return alpha_demo(interpret) if args.alpha else wall_demo(interpret)
+    if args.alpha:
+        return alpha_demo(interpret, plan=args.plan, samples=args.samples)
+    return wall_demo(interpret)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,9 @@ REPO = Path(__file__).resolve().parents[1]
 MESHES = [
     "models/alpha1.0/robot.obj",
     "models/alpha1.0/obstacle.obj",
+    "models/alpha1.0/alpha.env",
+    "models/alpha1.0/alpha.query",
+    "models/alpha1.0/README.txt",
 ]
 DATASETS = [
     "easy_confs10,000.conf",

@@ -52,8 +52,32 @@ def main() -> int:
                 robot, size, hard=(kind == "hard"),
                 seed=args.seed + (0 if kind == "easy" else 1) * 7919 + size,
             )
-            valid = check_configs(robot, obstacle, confs)
+            # Chunked + checkpointed tagging: an interrupted oracle sweep
+            # resumes where it left off (runtime/checkpoint.py; the durable
+            # analog of the reference persisting FCL verdicts in the files
+            # themselves, generate-tests.cu:33-38).
+            from robocheck_tpu.runtime import checkpoint
+
+            ckpt = out.with_suffix(".tagging.ckpt.npz")
+            valid = np.zeros((size,), dtype=bool)
+            done = 0
+            if ckpt.exists():
+                arrays, meta = checkpoint.load(ckpt)
+                if meta and meta.get("size") == size:
+                    valid = arrays["valid"].astype(bool)
+                    done = int(meta["done"])
+                    print(f"resuming {name} tagging at {done}/{size}")
+            chunk = 8192
+            for lo in range(done, size, chunk):
+                hi = min(lo + chunk, size)
+                valid[lo:hi] = check_configs(robot, obstacle, confs[lo:hi])
+                checkpoint.save(ckpt, {"valid": valid},
+                                meta={"done": hi, "size": size})
             write_conf_file(out, confs, valid)
+            ckpt.unlink(missing_ok=True)
+            meta_side = ckpt.with_suffix(".meta.json")
+            if meta_side.exists():
+                meta_side.unlink()
             dt = time.time() - t0
             print(
                 f"wrote {out}: {size} confs, {int(valid.sum())} valid / "

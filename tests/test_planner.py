@@ -140,6 +140,29 @@ class TestSQP:
         # Deviates around the ball.
         assert np.abs(res.trajectory[4:-4, 1:3]).max() > 0.5
 
+    def test_sqp_checkpoint_resume(self, tmp_path):
+        from robocheck_tpu.planner.sqp import SQPConfig, SQPOptimizer
+        from robocheck_tpu.runtime import checkpoint
+
+        robot = icosphere(1, radius=0.3, name="robot")
+        obstacle = icosphere(2, radius=1.0, name="ball")
+        path = str(tmp_path / "sqp.npz")
+        cfg = SQPConfig(num_waypoints=16, max_outer=6, top_k=4, margin=0.35,
+                        grid_resolution=40, num_surface_samples=64,
+                        max_penalty_rounds=1, checkpoint_path=path,
+                        checkpoint_every=2)
+        opt = SQPOptimizer(robot, obstacle, cfg, interpret=True)
+        start = np.array([-3, 0, 0, 0, 0, 0], np.float32)
+        goal = np.array([3, 0, 0, 0, 0, 0], np.float32)
+        opt.plan(start, goal)
+        arrays, meta = checkpoint.load(path)
+        assert arrays["q"].shape == (16, 6)
+        assert meta["outer"] >= 2
+        # Resume picks up the checkpointed trajectory (endpoints re-pinned).
+        res2 = opt.plan(start, goal, resume=True)
+        np.testing.assert_allclose(res2.trajectory[0], start, atol=1e-6)
+        np.testing.assert_allclose(res2.trajectory[-1], goal, atol=1e-6)
+
 
 @pytest.mark.slow
 class TestPipeline:
