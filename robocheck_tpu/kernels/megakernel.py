@@ -726,12 +726,13 @@ class MegaKernelPrep:
             + to * LANE * 4  # obs_t (lane-padded physical layout)
             + 16 * tr * 4  # rob_base
         )
-        if vmem_bytes > 12 * 1024 * 1024:
+        if vmem_bytes > 28 * 1024 * 1024:
             raise ValueError(
                 f"mesh pair too large for the fused kernel's VMEM budget "
                 f"({vmem_bytes / 1e6:.1f} MB estimated for {rob_tv.shape[0]} "
                 f"robot / {obs_tv.shape[0]} obstacle triangles); use "
-                f"ops.pipeline.CollisionWorld for oversized meshes"
+                f"kernels.chunked.make_checker (automatic Morton-chunked "
+                f"dispatch) or ops.pipeline.CollisionWorld"
             )
         # Robot-tile summary words live in misc cols 1..7 (col 0 = broad
         # flag, col 8+ = gate words). The VMEM budget binds first in
@@ -785,6 +786,12 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
                 jnp.float32,
             ),
         ],
+        # v5e has 128 MB of VMEM; the default 16 MB scoped limit rejects
+        # chunked-checker table sizes (2k robot / 8k obstacle triangles)
+        # that comfortably fit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )(obs_mesh_aabb, obs_group_aabbs, poses, rob_base, obs_t, obs_aabb_rows)
 

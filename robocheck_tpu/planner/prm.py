@@ -102,8 +102,9 @@ class PRMPlanner:
         goal = np.asarray(goal, np.float32)
         verts = np.concatenate([start[None], goal[None], samples], axis=0)
 
-        # 1. Vertex validation (one batch).
-        valid, *_ = self.checker.check(verts)
+        # 1. Vertex validation (one batch; the streamed fixed-chunk path
+        # keeps every PRM batch on ONE compiled kernel shape).
+        valid, _ = self.checker.check_valid(verts)
         if not (valid[0] and valid[1]):
             return PRMResult(None, 0, 0, len(verts))
         verts = verts[valid]
@@ -142,7 +143,7 @@ class PRMPlanner:
              for i, j in edges],
             axis=0,
         )
-        evalid, *_ = self.checker.check(interp)
+        evalid, _ = self.checker.check_valid(interp)
         confs_checked += len(interp)
         evalid = evalid.reshape(len(edges), cfg.edge_resolution).all(axis=1)
 

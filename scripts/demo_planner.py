@@ -60,13 +60,13 @@ def alpha_demo(interpret: bool, plan: bool = False,
     print(f"alpha query: start={query[0]}, goal={query[1]}")
 
     checker = MegaKernelChecker(robot, obstacle, interpret=interpret)
-    valid, *_ = checker.check(query)
+    valid, _ = checker.check_valid(query)
     print(f"start valid: {bool(valid[0])}, goal valid: {bool(valid[1])}")
 
     # Validate the straight-line sweep between the endpoints (the famous
     # narrow passage makes this infeasible — expect collisions).
     dense, _ = densify(query, step=2.0)
-    dvalid, *_ = checker.check(dense)
+    dvalid, _ = checker.check_valid(dense)
     print(f"straight-line sweep: {int(dvalid.sum())}/{len(dvalid)} "
           f"samples collision-free")
     if not plan:
