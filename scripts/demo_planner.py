@@ -83,7 +83,7 @@ def alpha_demo(interpret: bool, plan: bool = False,
 
     prm = PRMPlanner(robot, obstacle,
                      PRMConfig(num_samples=samples, k_neighbors=12,
-                               edge_resolution=16),
+                               edge_resolution=32),
                      checker=checker)
     t0 = _time.perf_counter()
     res = prm.plan(query[0], query[1])
@@ -98,7 +98,22 @@ def alpha_demo(interpret: bool, plan: bool = False,
               f"goal — the narrow passage needs rarer samples "
               f"(try --samples {4 * samples})")
         return 1
-    print(f"PRM path with {len(res.path)} waypoints; smoothing with SQP...")
+    print(f"PRM path with {len(res.path)} waypoints")
+    # Certify the raw PRM path at a much finer discretization than the
+    # PRM's edge resolution: a "path" that only exists at coarse sampling
+    # is a tunneling artifact, and the exact checker is cheap enough to say
+    # so directly.
+    ext = float((robot.aabb[3:] - robot.aabb[:3]).min())
+    for frac in (0.5, 0.1):
+        dense, _ = densify(res.path, step=frac * ext)
+        dv, _ = checker.check_valid(dense)
+        print(f"  PRM path densified at {frac:.1f}x robot extent "
+              f"({len(dense)} samples): "
+              f"{int(dv.sum())}/{len(dv)} collision-free"
+              + ("" if dv.all() else " -> NOT certified (tunneling)"))
+        if not dv.all():
+            break
+    print("smoothing with SQP...")
     from robocheck_tpu.planner import SQPConfig, SQPOptimizer
     from robocheck_tpu.planner.trajopt import resample
 

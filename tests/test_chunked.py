@@ -77,18 +77,24 @@ def test_make_checker_dispatch(worlds, rng):
     small = make_checker(robot, obstacle, interpret=True)
     assert isinstance(small, MegaKernelChecker)
 
-    big_obs = triangle_soup(rng, 3 * MAX_OBS_TRIS + 7, extent=2.0)
+    # Past the fused kernel's raised (48 MB compiler / 28 MB table) budget:
+    # ~58k obstacle triangles of table is ~30 MB.
+    n_big = 58_000
+    big_obs = triangle_soup(rng, n_big, extent=2.0)
     big = make_checker(robot, big_obs, interpret=True)
     assert isinstance(big, ChunkedMegaKernelChecker)
-    assert big.num_chunk_pairs == 4  # 1 robot x 4 obstacle chunks
+    assert big.num_chunk_pairs == -(-n_big // MAX_OBS_TRIS)
 
 
 def test_chunked_oversized_end_to_end(worlds, rng):
-    # A >budget obstacle through the public factory API: verdicts must match
-    # the oracle. Kept small in configuration count (interpret mode).
+    # An obstacle forced through multiple chunks via the public chunked
+    # checker: verdicts must match the oracle. (Small caps keep interpret
+    # mode fast; the factory-threshold routing is covered above.)
     robot, _ = worlds
-    big_obs = triangle_soup(rng, 3 * MAX_OBS_TRIS + 7, extent=2.0)
-    checker = make_checker(robot, big_obs, interpret=True)
+    big_obs = triangle_soup(rng, 1000, extent=2.0)
+    checker = ChunkedMegaKernelChecker(robot, big_obs, interpret=True,
+                                       max_obs_tris=256)
+    assert checker.num_chunk_pairs == 4
     confs = rng.uniform(-2, 2, size=(8, 6)).astype(np.float32)
     v, _ = checker.check_valid(confs)
     gt = cpu_oracle.check_configs(robot, big_obs, confs)
