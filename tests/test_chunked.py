@@ -86,6 +86,26 @@ def test_make_checker_dispatch(worlds, rng):
     assert big.num_chunk_pairs == -(-n_big // MAX_OBS_TRIS)
 
 
+@pytest.mark.tpu
+def test_chunked_oversized_on_hardware(worlds, rng):
+    # Real-TPU twin of the dispatch test: a 58k-triangle obstacle (~30 MB of
+    # mesh tables, above the default 16 MB scoped-VMEM limit) must compile
+    # under the kernel's raised vmem_limit_bytes and match the oracle.
+    # Run with ROBOCHECK_TEST_TPU=1 -m tpu.
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("real TPU required")
+    robot, _ = worlds
+    big_obs = triangle_soup(rng, 58_000, extent=2.0)
+    checker = make_checker(robot, big_obs)
+    assert isinstance(checker, ChunkedMegaKernelChecker)
+    confs = rng.uniform(-2.5, 2.5, size=(64, 6)).astype(np.float32)
+    v, _ = checker.check_valid(confs, chunk=64)
+    gt = cpu_oracle.check_configs(robot, big_obs, confs)
+    np.testing.assert_array_equal(v, gt)
+
+
 def test_chunked_oversized_end_to_end(worlds, rng):
     # An obstacle forced through multiple chunks via the public chunked
     # checker: verdicts must match the oracle. (Small caps keep interpret
