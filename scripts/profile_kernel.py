@@ -38,12 +38,12 @@ def main() -> int:
     checker = MegaKernelChecker(
         robot, obstacle, interpret=jax.default_backend() != "tpu"
     )
-    checker.check(ds.confs)  # compile + warm
+    checker.check_valid(ds.confs)  # compile + warm (fixed-chunk shape)
 
     with trace(args.out):
         for _ in range(args.runs):
             t0 = time.perf_counter()
-            checker.check(ds.confs)
+            checker.check_valid(ds.confs)
             print(f"run: {time.perf_counter() - t0:.3f}s")
     print(f"trace written to {args.out}")
     return 0
