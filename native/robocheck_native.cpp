@@ -12,8 +12,8 @@
 // 2-D path. It intentionally does NOT share the f32 TOL-band semantics of the
 // TPU kernels so differential tests catch bugs rather than inherit them.
 //
-// Exposed as a C ABI consumed through ctypes (robocheck_tpu/io/native.py,
-// robocheck_tpu/oracle/native.py); pure-Python fallbacks exist for both.
+// Exposed as a C ABI consumed through ctypes (robocheck_tpu/runtime/native.py);
+// pure-Python fallbacks exist for every entry point.
 
 #include <algorithm>
 #include <cmath>

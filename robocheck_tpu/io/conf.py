@@ -8,7 +8,7 @@ Text format of the reference datasets (`Utils_rai.cu:11-109`):
 
 ``valid`` is 0/1; True means collision-free. Readers tolerate a missing tag
 column (untagged files). Large files can route through the native C++ parser
-(`io/native.py`); this NumPy path is the portable fallback and the format
+(ctypes layer `runtime/native.py`); this NumPy path is the portable fallback and the format
 reference.
 
 Header counts are parsed separately from the row tags because the two can

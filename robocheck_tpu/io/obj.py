@@ -4,8 +4,8 @@ Equivalent of the reference loader (`Utils_rai.cu:139-226` AoS /
 `Utils_rai.cu:228-320` SoA): vertices (``v`` lines), triangulated faces
 (``f`` lines, fan triangulation for polygons, 1-based indices, ``v/vt/vn``
 forms accepted, normals/texcoords ignored). There is no AoS/SoA split here —
-the array layout decision lives in `core.types`, and a fast native parser in
-`robocheck_tpu/io/native.py` can take over for large files.
+the array layout decision lives in `core.types`, and a fast native parser
+(ctypes layer `robocheck_tpu/runtime/native.py`) can take over for large files.
 """
 from __future__ import annotations
 

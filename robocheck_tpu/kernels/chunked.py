@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core.types import Mesh
 from ..utils.morton import morton_argsort
-from .megakernel import MegaKernelChecker
+from .megakernel import MegaKernelChecker, VmemBudgetError
 
 # Chunk caps chosen so a (robot-chunk, obstacle-chunk) pair always fits the
 # fused kernel's VMEM budget (see MegaKernelPrep.build): rob_d scratch
@@ -106,6 +106,6 @@ def make_checker(robot: Mesh, obstacle: Mesh, morton: bool = True,
     try:
         return MegaKernelChecker(robot, obstacle, morton=morton,
                                  interpret=interpret)
-    except ValueError:
+    except VmemBudgetError:
         return ChunkedMegaKernelChecker(robot, obstacle, morton=morton,
                                         interpret=interpret)

@@ -75,6 +75,14 @@ _O_HI = 16
 _O_COLS = 24
 
 
+class VmemBudgetError(ValueError):
+    """Mesh pair exceeds the fused kernel's VMEM residency budget.
+
+    Raised by :meth:`MegaKernelPrep.build`; `kernels.chunked.make_checker`
+    catches exactly this to dispatch to the Morton-chunked checker (other
+    ``ValueError``s — malformed meshes etc. — propagate)."""
+
+
 def _iszero(v):
     return jnp.abs(v) < TOL
 
@@ -699,9 +707,15 @@ class MegaKernelPrep:
             obs_t[:, _O_LO : _O_LO + 6].T
         ).astype(np.float32)
 
+        # Mesh-level obstacle box from the *referenced* triangle vertices
+        # (not mesh.aabb, which reduces over the whole vertex array): for
+        # Morton chunks sharing a parent vertex buffer this is what makes
+        # per-chunk broad culling real rather than the whole-mesh box.
+        # min/max are order-independent, so for fully-referenced meshes this
+        # is bit-identical to the vertex-array reduction.
         obs_mesh = np.zeros((1, 8), dtype=np.float32)
-        obs_mesh[0, 0:3] = obstacle.aabb[:3]
-        obs_mesh[0, 3:6] = obstacle.aabb[3:]
+        obs_mesh[0, 0:3] = obs_tv.reshape(-1, 3).min(axis=0)
+        obs_mesh[0, 3:6] = obs_tv.reshape(-1, 3).max(axis=0)
 
         # Per-128-triangle-group obstacle AABBs for the scalar-core gate.
         # Morton ordering (above) makes these tight. Fully padded groups get
@@ -727,7 +741,7 @@ class MegaKernelPrep:
             + 16 * tr * 4  # rob_base
         )
         if vmem_bytes > 28 * 1024 * 1024:
-            raise ValueError(
+            raise VmemBudgetError(
                 f"mesh pair too large for the fused kernel's VMEM budget "
                 f"({vmem_bytes / 1e6:.1f} MB estimated for {rob_tv.shape[0]} "
                 f"robot / {obs_tv.shape[0]} obstacle triangles); use "

@@ -16,7 +16,9 @@ one kernel and chains the warp-coarsened narrow phase. The TPU redesign:
       surviving pair indices are compacted to a fixed-size buffer
       (``jnp.nonzero(..., size=max_pairs)``) — the XLA-friendly answer to the
       CUDA pair buffer + atomicAdd (`MegaKernel.cu:321-331`). Static shapes
-      keep it jittable; an overflow flag triggers a widened re-run.
+      keep it jittable; buffer overflow raises a flag and the affected
+      configurations are re-verdicted by the float64 oracle (see
+      ``CollisionWorld.check``).
   stage 4 (dense masked narrow phase):
       exact Moller interval tests on the compacted pairs
       (`ops/narrow.pair_intersects`), any-hit OR-reduce per configuration.

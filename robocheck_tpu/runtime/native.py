@@ -13,10 +13,11 @@ from pathlib import Path
 import numpy as np
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
+# A user-supplied library (env var) always wins over the in-repo build.
 _LIB_PATHS = [
-    _REPO_ROOT / "native" / "librobocheck_native.so",
     Path(os.environ.get("ROBOCHECK_NATIVE_LIB", "")) if os.environ.get(
         "ROBOCHECK_NATIVE_LIB") else None,
+    _REPO_ROOT / "native" / "librobocheck_native.so",
 ]
 
 _lib = None
