@@ -51,8 +51,9 @@ def main():
     checker = MegaKernelChecker(robot, obstacle, interpret=interpret)
 
     # Warm-up / compile (the throughput path: streamed single-phase
-    # dispatch, packed 1-byte/config verdicts over the link).
-    valid, cop = checker.check_valid(confs)
+    # dispatch, packed 1-byte/config verdicts over the link; coplanar flags
+    # resolved exactly in float64 — free when nothing is flagged).
+    valid = checker.check_valid_resolved(confs)
 
     # Correctness gate (the reference's KERNEL BROKEN check,
     # full-integration-test.cu:695-724). Files whose row tags disagree with
@@ -74,7 +75,7 @@ def main():
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        checker.check_valid(confs)
+        checker.check_valid_resolved(confs)
         times.append(time.perf_counter() - t0)
     best = min(times)
     checks_per_s = n / best

@@ -66,6 +66,8 @@ class ChunkedMegaKernelChecker:
                  interpret: bool = False,
                  max_rob_tris: int = MAX_ROB_TRIS,
                  max_obs_tris: int = MAX_OBS_TRIS):
+        self.robot = robot
+        self.obstacle = obstacle
         self.checkers = [
             MegaKernelChecker(r, o, morton=morton, interpret=interpret)
             for r in split_mesh(robot, max_rob_tris)
@@ -84,6 +86,16 @@ class ChunkedMegaKernelChecker:
             valid = v if valid is None else (valid & v)
             coplanar = c if coplanar is None else (coplanar | c)
         return valid, coplanar
+
+    def check_valid_resolved(self, confs: np.ndarray,
+                             chunk: int | None = None) -> np.ndarray:
+        """``check_valid`` + float64 resolution of coplanar-flagged
+        configurations (see `oracle.resolve_coplanar`), against the FULL
+        (unchunked) mesh pair."""
+        from ..oracle import resolve_coplanar
+
+        valid, cop = self.check_valid(confs, chunk=chunk)
+        return resolve_coplanar(self.robot, self.obstacle, confs, valid, cop)
 
     def check(self, confs: np.ndarray, two_phase: bool = True):
         valid = None

@@ -909,6 +909,8 @@ class MegaKernelChecker:
 
     def __init__(self, robot: Mesh, obstacle: Mesh, morton: bool = True,
                  interpret: bool = False):
+        self.robot = robot
+        self.obstacle = obstacle
         self.prep = MegaKernelPrep.build(robot, obstacle, morton=morton)
         self._rob_base = jnp.asarray(self.prep.rob_base)
         self._obs_t = jnp.asarray(self.prep.obs_t)
@@ -1001,6 +1003,16 @@ class MegaKernelChecker:
         packed = np.asarray(outs[0] if len(outs) == 1
                             else jnp.concatenate(outs))[:n]
         return (packed & 1).astype(bool), (packed >> 1).astype(bool)
+
+    def check_valid_resolved(self, confs: np.ndarray,
+                             chunk: int | None = None) -> np.ndarray:
+        """``check_valid`` + exact float64 resolution of coplanar-flagged
+        configurations (`oracle.resolve_coplanar`) — the verdict surface
+        consumers should certify against. Returns valid[N] bool."""
+        from ..oracle import resolve_coplanar
+
+        valid, cop = self.check_valid(confs, chunk=chunk)
+        return resolve_coplanar(self.robot, self.obstacle, confs, valid, cop)
 
     def check(self, confs: np.ndarray, two_phase: bool = True):
         confs = validate_confs(confs)

@@ -50,6 +50,8 @@ class ShardedChecker:
         interpret: bool = False,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.robot = robot
+        self.obstacle = obstacle
         self.prep = mk.MegaKernelPrep.build(robot, obstacle, morton=morton)
         self._interpret = interpret
 
@@ -186,3 +188,12 @@ class ShardedChecker:
         packed = np.asarray(outs[0] if len(outs) == 1
                             else jnp.concatenate(outs))[:n]
         return (packed & 1).astype(bool), (packed >> 1).astype(bool)
+
+    def check_valid_resolved(self, confs: np.ndarray,
+                             chunk: int | None = None) -> np.ndarray:
+        """``check_valid`` + float64 resolution of coplanar-flagged
+        configurations (see `oracle.resolve_coplanar`)."""
+        from ..oracle import resolve_coplanar
+
+        valid, cop = self.check_valid(confs, chunk=chunk)
+        return resolve_coplanar(self.robot, self.obstacle, confs, valid, cop)

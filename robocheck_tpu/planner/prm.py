@@ -104,7 +104,7 @@ class PRMPlanner:
 
         # 1. Vertex validation (one batch; the streamed fixed-chunk path
         # keeps every PRM batch on ONE compiled kernel shape).
-        valid, _ = self.checker.check_valid(verts)
+        valid = self.checker.check_valid_resolved(verts)
         if not (valid[0] and valid[1]):
             return PRMResult(None, 0, 0, len(verts))
         verts = verts[valid]
@@ -143,7 +143,7 @@ class PRMPlanner:
              for i, j in edges],
             axis=0,
         )
-        evalid, _ = self.checker.check_valid(interp)
+        evalid = self.checker.check_valid_resolved(interp)
         confs_checked += len(interp)
         evalid = evalid.reshape(len(edges), cfg.edge_resolution).all(axis=1)
 

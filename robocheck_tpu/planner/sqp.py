@@ -165,7 +165,8 @@ class SQPOptimizer:
             ext = self.robot.aabb[3:] - self.robot.aabb[:3]
             step = 0.5 * float(ext.min())
         dense, _ = densify(traj, step, self.cfg.rot_scale)
-        dvalid, _ = self.checker.check_valid(dense)
+        # Resolved path: coplanar contacts must fail certification.
+        dvalid = self.checker.check_valid_resolved(dense)
         return bool(dvalid.all())
 
     def _checkpoint(self, qj, mu, delta, outer, rnd) -> None:

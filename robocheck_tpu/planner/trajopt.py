@@ -269,7 +269,9 @@ class TrajectoryOptimizer:
             ext = self.robot.aabb[3:] - self.robot.aabb[:3]
             step = 0.5 * float(ext.min())
         dense, seg = densify(traj, step, self.cfg.rot_scale)
-        dvalid, _ = self.checker.check_valid(dense)
+        # Resolved path: coplanar contacts (face sliding on face) must fail
+        # certification, not slip through as flagged-but-valid.
+        dvalid = self.checker.check_valid_resolved(dense)
         # A waypoint is "valid" if every dense sample of its adjacent
         # segments is valid (conservative attribution for reporting).
         waypoint_valid = np.ones(len(traj), dtype=bool)

@@ -194,3 +194,61 @@ def test_batch_padding_roundtrip(sphere_world):
     valid, *_ = mk.check(confs)
     assert valid.shape == (CONFS_PER_PROGRAM + 3,)
     assert valid.all()
+
+
+class TestCoplanarResolution:
+    """The failure mode the reference printf's on (`narrow-phase.cu:544-545`):
+    near-coplanar face-on-face contact. The f32 kernel flags it; the float64
+    oracle resolves it; `check_valid_resolved` is the surface consumers
+    certify against. Fixture found by search: two triangles lying in one
+    tilted plane at ~300-unit coordinates, where f32 rounding makes the
+    signed distances straddle the ±TOL band (so the pair is 'live') while
+    the plane-coefficient ratios still match (so it is flagged coplanar) —
+    and the exact f64 geometry intersects."""
+
+    RT = np.array([[-88.58568, -287.5827, -148.07309],
+                   [-105.54053, -122.13013, -65.34459],
+                   [9.788717, -353.9158, -98.061005]], dtype=np.float32)
+    OT = np.array([[-163.90807, -449.27316, -312.38596],
+                   [55.186058, -181.60817, 45.36783],
+                   [-9.889383, -480.09338, -190.76962]], dtype=np.float32)
+
+    def _world(self):
+        from robocheck_tpu.core.types import Mesh
+
+        tris = np.array([[0, 1, 2]], np.int32)
+        return Mesh(self.RT, tris, name="r"), Mesh(self.OT, tris, name="o")
+
+    def test_flagged_then_resolved_colliding(self):
+        robot, obstacle = self._world()
+        ck = MegaKernelChecker(robot, obstacle, interpret=True)
+        confs = np.zeros((1, 6), np.float32)
+        valid, cop = ck.check_valid(confs)
+        assert valid[0] and cop[0], "fixture must be flagged-but-unresolved"
+        resolved = ck.check_valid_resolved(confs)
+        assert not resolved[0], "exact geometry collides"
+        from robocheck_tpu.oracle import check_configs
+
+        assert not check_configs(robot, obstacle, confs)[0]
+
+    def test_resolution_keeps_clean_verdicts(self):
+        # Far-away configs: nothing flagged, resolved == raw (and the helper
+        # returns the input array untouched).
+        robot, obstacle = self._world()
+        ck = MegaKernelChecker(robot, obstacle, interpret=True)
+        confs = np.zeros((4, 6), np.float32)
+        confs[:, 0] = 1e5
+        raw, cop = ck.check_valid(confs)
+        assert raw.all() and not cop.any()
+        assert ck.check_valid_resolved(confs).all()
+
+    def test_invalid_stays_invalid(self):
+        # resolve_coplanar must never overturn a collision verdict.
+        from robocheck_tpu.oracle import resolve_coplanar
+
+        robot, obstacle = self._world()
+        valid = np.array([False, True])
+        cop = np.array([True, False])
+        out = resolve_coplanar(robot, obstacle, np.zeros((2, 6), np.float32),
+                               valid, cop)
+        np.testing.assert_array_equal(out, [False, True])

@@ -208,3 +208,29 @@ class TestPRM:
         # Every waypoint on the returned path is individually valid.
         v, *_ = planner.checker.check(res.path)
         assert v.all()
+
+
+class TestPlannerCoplanarCertify:
+    def test_certify_rejects_coplanar_contact(self):
+        # A trajectory resting at a near-coplanar face-on-face contact (the
+        # fixture of tests/test_megakernel.py::TestCoplanarResolution) must
+        # NOT be certified: the raw kernel only flags the pair; the planner
+        # path resolves it in float64 and sees the collision.
+        from robocheck_tpu.core.types import Mesh
+        from tests.test_megakernel import TestCoplanarResolution as F
+
+        tris = np.array([[0, 1, 2]], np.int32)
+        robot = Mesh(F.RT, tris, name="r")
+        obstacle = Mesh(F.OT, tris, name="o")
+        opt = TrajectoryOptimizer(
+            robot, obstacle,
+            TrajOptConfig(num_waypoints=4, iters_per_round=1, max_rounds=1,
+                          grid_resolution=8, num_surface_samples=8),
+            interpret=True,
+        )
+        raw, cop = opt.checker.check_valid(np.zeros((1, 6), np.float32))
+        assert raw[0] and cop[0]  # the raw path would have certified this
+        traj = np.zeros((3, 6), np.float32)
+        waypoint_valid, certified = opt._certify(traj)
+        assert not certified
+        assert not waypoint_valid.all()
