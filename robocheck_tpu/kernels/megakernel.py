@@ -87,23 +87,33 @@ def _iszero(v):
     return jnp.abs(v) < TOL
 
 
-def _isclose(v1, v2):
+def _true_div(a, b):
+    return a / b
+
+
+def _probe_div(a, b):
+    # Profiling stand-in (stage_cap=3): multiply instead of divide to
+    # isolate the VPU divide cost. WRONG results; never the default.
+    return a * b
+
+
+def _isclose(v1, v2, div=_true_div):
     a1 = jnp.abs(v1)
     a2 = jnp.abs(v2)
     both = (a1 < TOL) & (a2 < TOL)
     one = (a1 < TOL) | (a2 < TOL)
-    rel = jnp.abs((v1 - v2) / jnp.where(a1 < TOL, 1.0, v1)) < TOL
+    rel = jnp.abs(div(v1 - v2, jnp.where(a1 < TOL, 1.0, v1))) < TOL
     # both -> True; exactly one small -> False; else rel.
     return both | (~one & rel)
 
 
-def _la_solve(a1, a2, a3, a4, b1, b2):
+def _la_solve(a1, a2, a3, a4, b1, b2, div=_true_div):
     a1_zero = _iszero(a1)
-    x2_a = b1 / a2
-    x1_a = (b2 - a4 * x2_a) / a3
+    x2_a = div(b1, a2)
+    x1_a = div(b2 - a4 * x2_a, a3)
     denom = a2 * a3 - a1 * a4
-    x2_b = (a3 * b1 - a1 * b2) / denom
-    x1_b = (b1 - a2 * x2_b) / jnp.where(a1_zero, 1.0, a1)
+    x2_b = div(a3 * b1 - a1 * b2, denom)
+    x1_b = div(b1 - a2 * x2_b, jnp.where(a1_zero, 1.0, a1))
     return jnp.where(a1_zero, x1_a, x1_b), jnp.where(a1_zero, x2_a, x2_b)
 
 
@@ -138,54 +148,43 @@ def _tile_planes(rob, obs):
     return dist_o, dist_r, live
 
 
-def _tile_moller_rest(rob, obs, dist_o, dist_r):
-    """Expensive remainder of the Moller test: coplanarity, plane
-    intersection line, and interval overlap. Only meaningful for pairs where
-    `_tile_planes` reported live; callers mask with it.
+def _tile_moller_rest(rob, obs, dist_o, dist_r, live, hit, cop,
+                      div=_true_div):
+    """Expensive remainder of the Moller test: interval overlap plus the
+    (rare) coplanarity resolution, on one pair tile. Only pairs where
+    `_tile_planes` reported live matter; ``live`` must already include the
+    mini-AABB mask.
 
-    Returns (intersects_t, coplanar) [128, 128] bool arrays. Combined with
-    the live mask the semantics are identical to `ops.narrow.pair_intersects`
-    (same FP operation order).
+    Returns scalar (hit', cop') carries: hit' = hit OR some live pair
+    intersects; cop' = cop OR some live pair is flagged coplanar. Combined
+    semantics are identical to `ops.narrow.pair_intersects` (same FP
+    operation order); the ~45-op/8-divide component-ratio block runs only
+    when a *conservative necessary condition* for coplanarity fires on some
+    live pair (see below), which on real data is ~never.
     """
     nrx, nry, nrz, dr = rob["nx"], rob["ny"], rob["nz"], rob["d"]
     nox, noy, noz, do = obs["nx"], obs["ny"], obs["nz"], obs["d"]
 
-    # Coplanarity: component-ratio test against the first usable component.
-    comps = [(nrx, nox), (nry, noy), (nrz, noz), (dr, do)]
-    z1 = [_iszero(a) for a, _ in comps]
-    z2 = [_iszero(b) for _, b in comps]
-    mismatch = (z1[0] ^ z2[0]) | (z1[1] ^ z2[1]) | (z1[2] ^ z2[2]) | (z1[3] ^ z2[3])
-    valid = [~za & ~zb for za, zb in zip(z1, z2)]
-    ratios = [a / jnp.where(v, b, 1.0) for (a, b), v in zip(comps, valid)]
-    ratio0 = jnp.where(
-        valid[0], ratios[0],
-        jnp.where(valid[1], ratios[1], jnp.where(valid[2], ratios[2], ratios[3])),
-    )
-    ok = jnp.ones_like(mismatch)
-    for v, r in zip(valid, ratios):
-        ok &= ~v | _isclose(ratio0, r)
-    coplanar = ~mismatch & ok
-
-    # Intersection line of the two planes.
-    Dx = nry * noz - nrz * noy
-    Dy = nrz * nox - nrx * noz
-    Dz = nrx * noy - nry * nox
-    x1_z, x2_z = _la_solve(nrx, nry, nox, noy, -dr, -do)
-    x1_y, x2_y = _la_solve(nrx, nrz, nox, noz, -dr, -do)
-    x1_x, x2_x = _la_solve(nry, nrz, noy, noz, -dr, -do)
-    use_z = ~_iszero(Dz)
-    use_y = ~use_z & ~_iszero(Dy)
-    zeros = jnp.zeros_like(Dx)
-    Ox = jnp.where(use_z, x1_z, jnp.where(use_y, x1_y, zeros))
-    Oy = jnp.where(use_z, x2_z, jnp.where(use_y, zeros, x1_x))
-    Oz = jnp.where(use_z, zeros, jnp.where(use_y, x2_y, x2_x))
+    # Intersection-line DIRECTION only (origin-free projections: a shared
+    # line origin shifts both triangles' interval endpoints equally and
+    # cancels in the >= comparisons — Moller'97's optimized form. The
+    # reference solves 2x2 systems for the origin, `narrow-phase.cu:127-154`;
+    # dropping them removes ~60 vector ops and 12 of 24 VPU divides from the
+    # issue-bound hot stage). The cross-product terms are kept separate: the
+    # coplanarity precheck reuses them.
+    axx, bxx = nry * noz, nrz * noy
+    axy, bxy = nrz * nox, nrx * noz
+    axz, bxz = nrx * noy, nry * nox
+    Dx = axx - bxx
+    Dy = axy - bxy
+    Dz = axz - bxz
 
     # Projections of all six corners onto the line.
     def proj(side):
         return [
-            Dx * (side[f"c{c}x"] - Ox)
-            + Dy * (side[f"c{c}y"] - Oy)
-            + Dz * (side[f"c{c}z"] - Oz)
+            Dx * side[f"c{c}x"]
+            + Dy * side[f"c{c}y"]
+            + Dz * side[f"c{c}z"]
             for c in range(3)
         ]
 
@@ -207,7 +206,7 @@ def _tile_moller_rest(rob, obs, dist_o, dist_r):
         def pvar(pa, pb, da, db):
             dd = da - db
             dd = jnp.where(dd == 0.0, 1.0, dd)
-            return pa + (pb - pa) * da / dd
+            return pa + (pb - pa) * div(da, dd)
 
         t01 = pvar(q0, q1, e0, e1)
         t12 = pvar(q1, q2, e1, e2)
@@ -216,8 +215,56 @@ def _tile_moller_rest(rob, obs, dist_o, dist_r):
     min_r, max_r = interval(p_r, dist_r)
     min_o, max_o = interval(p_o, dist_o)
     separated_t = (min_r >= max_o) | (min_o >= max_r)
+    isect_raw = ~separated_t & live
 
-    return ~coplanar & ~separated_t, coplanar
+    # Conservative coplanarity precheck: ratio-coplanar (all nonzero
+    # component ratios within TOL=1e-6 of each other) forces each |D|
+    # component below ~1e-6x the magnitude of its two cross terms — unless a
+    # component pair is inside the |.|<TOL zero band on BOTH sides, in which
+    # case that axis is excused (the ratio test skips it too). The bound
+    # here uses 1e-3, three orders of magnitude of headroom over the exact
+    # bound plus f32 evaluation noise (~6e-8 relative), so precheck=False
+    # PROVES no live pair can be ratio-coplanar and the full component-ratio
+    # block (8 VPU divides) is skipped. Mismatched zero patterns are
+    # non-coplanar by definition and need no excuse.
+    B = jnp.float32(1.0e-3)
+    bs_x = _iszero(nrx) & _iszero(nox)
+    bs_y = _iszero(nry) & _iszero(noy)
+    bs_z = _iszero(nrz) & _iszero(noz)
+    okx = (jnp.abs(Dx) <= B * (jnp.abs(axx) + jnp.abs(bxx))) | bs_y | bs_z
+    oky = (jnp.abs(Dy) <= B * (jnp.abs(axy) + jnp.abs(bxy))) | bs_z | bs_x
+    okz = (jnp.abs(Dz) <= B * (jnp.abs(axz) + jnp.abs(bxz))) | bs_x | bs_y
+    maybe_cop = okx & oky & okz & live
+
+    def with_cop(c):
+        h, cp = c
+        # Component-ratio test against the first usable component
+        # (`narrow-phase.cu:253-294` semantics).
+        comps = [(nrx, nox), (nry, noy), (nrz, noz), (dr, do)]
+        z1 = [_iszero(a) for a, _ in comps]
+        z2 = [_iszero(b) for _, b in comps]
+        mismatch = (z1[0] ^ z2[0]) | (z1[1] ^ z2[1]) | (z1[2] ^ z2[2]) | (
+            z1[3] ^ z2[3])
+        valid = [~za & ~zb for za, zb in zip(z1, z2)]
+        ratios = [div(a, jnp.where(v, b, 1.0))
+                  for (a, b), v in zip(comps, valid)]
+        ratio0 = jnp.where(
+            valid[0], ratios[0],
+            jnp.where(valid[1], ratios[1],
+                      jnp.where(valid[2], ratios[2], ratios[3])),
+        )
+        ok = jnp.ones_like(mismatch)
+        for v, r in zip(valid, ratios):
+            ok &= ~v | _isclose(ratio0, r, div)
+        coplanar = ~mismatch & ok
+        return (h | jnp.any(isect_raw & ~coplanar),
+                cp | jnp.any(coplanar & live))
+
+    def no_cop(c):
+        h, cp = c
+        return (h | jnp.any(isect_raw), cp)
+
+    return jax.lax.cond(jnp.any(maybe_cop), with_cop, no_cop, (hit, cop))
 
 
 # Configurations processed per grid program (the pose/out block row count;
@@ -271,8 +318,14 @@ def _kernel(
     *,
     num_rob_tiles: int,
     num_obs_tiles: int,
+    rob_tile: int = LANE,
+    obs_tile: int = LANE,
+    inner_exit: bool = True,
     sweep: bool = True,
     stats: bool = True,
+    stage_cap: int = 2,
+    rest_sub: int = 0,
+    bcast_obs: bool = False,
 ):
     # ---- Stage 1 (vectorized across the block's configurations):
     # transform pre-gathered corners; planes; mini-AABBs; broad flags. ----
@@ -363,12 +416,12 @@ def _kernel(
         to = obs_aabb_rows_ref.shape[1]
         seg_r = (
             jax.lax.broadcasted_iota(jnp.int32, (tr, num_rob_tiles), 0)
-            // LANE
+            // rob_tile
             == jax.lax.broadcasted_iota(jnp.int32, (tr, num_rob_tiles), 1)
         ).astype(jnp.float32)
         seg_o = (
             jax.lax.broadcasted_iota(jnp.int32, (to, num_obs_tiles), 0)
-            // LANE
+            // obs_tile
             == jax.lax.broadcasted_iota(jnp.int32, (to, num_obs_tiles), 1)
         ).astype(jnp.float32)
 
@@ -396,7 +449,7 @@ def _kernel(
         rob_any = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
                    for _ in range(r_words)]
         for i in range(num_rob_tiles):
-            sl = slice(i * LANE, (i + 1) * LANE)
+            sl = slice(i * rob_tile, (i + 1) * rob_tile)
             rg_lo = [jnp.min(los[k][:, sl], axis=1, keepdims=True)
                      for k in range(3)]  # [CPB, 1]
             rg_hi = [jnp.max(his[k][:, sl], axis=1, keepdims=True)
@@ -441,7 +494,9 @@ def _kernel(
             _one_config(
                 cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d,
                 misc, num_rob_tiles=num_rob_tiles,
-                num_obs_tiles=num_obs_tiles, stats=stats,
+                num_obs_tiles=num_obs_tiles, rob_tile=rob_tile,
+                obs_tile=obs_tile, inner_exit=inner_exit, stats=stats,
+                stage_cap=stage_cap, rest_sub=rest_sub, bcast_obs=bcast_obs,
             )
         else:
             broad = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
@@ -468,9 +523,15 @@ def _kernel(
 
 def _one_config(
     cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d, misc,
-    *, num_rob_tiles: int, num_obs_tiles: int, stats: bool = True,
+    *, num_rob_tiles: int, num_obs_tiles: int, rob_tile: int = LANE,
+    obs_tile: int = LANE, inner_exit: bool = True, stats: bool = True,
+    stage_cap: int = 2, rest_sub: int = 0, bcast_obs: bool = False,
 ):
     broad_hit = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
+    # Runtime-false scalar for the stage_cap profiling probes: misc col 7 is
+    # always 0 at runtime but opaque to the compiler, so probe bodies cannot
+    # be dead-code-eliminated.
+    rt_false = misc[pl.ds(cc, 1), 7:8][0, 0] > 0.5
 
     # Sweep only the SET gate bits: the outer loop pops robot tiles from the
     # stage-1 summary word (bit i = robot tile i has any gated obstacle
@@ -504,12 +565,13 @@ def _one_config(
 
     def eval_rob_tile(i, carry):
         words = load_words(i)
-        roff = pl.multiple_of(i * LANE, LANE)
+        roff = pl.multiple_of(i * rob_tile, rob_tile)
 
         # ONE wide dynamic load for this robot tile's 19 field rows ([1, 24,
-        # 128] block), sliced in-register — 19 serialized address-dependent
-        # [1, 128] loads were a measured ~40% of the sweep's cost.
-        rblock = rob_d[pl.ds(cc, 1), :, pl.ds(roff, LANE)][0]  # [24, 128]
+        # rob_tile] block), sliced in-register — 19 serialized
+        # address-dependent narrow loads were a measured ~40% of the sweep's
+        # cost.
+        rblock = rob_d[pl.ds(cc, 1), :, pl.ds(roff, rob_tile)][0]
 
         def rrow_at(r):
             return rblock[r : r + 1, :]
@@ -522,14 +584,14 @@ def _one_config(
             rfield[f"c{c}z"] = rrow_at(_R_C + 3 * c + 2)
         r_lo = [rrow_at(_R_LO + k) for k in range(3)]
         r_hi = [rrow_at(_R_HI + k) for k in range(3)]
-        tile_mask = rob_base_ref[9:10, pl.ds(roff, LANE)] > 0.0
+        tile_mask = rob_base_ref[9:10, pl.ds(roff, rob_tile)] > 0.0
 
         def tile(j, carry3):
-            ooff = pl.multiple_of(j * LANE, LANE)
+            ooff = pl.multiple_of(j * obs_tile, obs_tile)
 
-            # One wide [128, 24] load for the obstacle tile, column-sliced
-            # in-register.
-            oblock = obs_t_ref[pl.ds(ooff, LANE), :]
+            # One wide [obs_tile, 24] load for the obstacle tile,
+            # column-sliced in-register.
+            oblock = obs_t_ref[pl.ds(ooff, obs_tile), :]
 
             def ocol(c):
                 return oblock[:, c : c + 1]
@@ -539,12 +601,17 @@ def _one_config(
                 mask &= r_lo[k] <= ocol(_O_HI + k)
                 mask &= ocol(_O_LO + k) <= r_hi[k]
 
-            obs_fields = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
-                          "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
-            for c in range(3):
-                obs_fields[f"c{c}x"] = ocol(_O_C + 3 * c + 0)
-                obs_fields[f"c{c}y"] = ocol(_O_C + 3 * c + 1)
-                obs_fields[f"c{c}z"] = ocol(_O_C + 3 * c + 2)
+            def mk_obs_fields():
+                # Built inside the gated branches: tiles whose mini-AABB
+                # mask is empty (the majority of visits) never pay the
+                # 13 column slices.
+                obs_fields = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
+                              "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
+                for c in range(3):
+                    obs_fields[f"c{c}x"] = ocol(_O_C + 3 * c + 0)
+                    obs_fields[f"c{c}y"] = ocol(_O_C + 3 * c + 1)
+                    obs_fields[f"c{c}z"] = ocol(_O_C + 3 * c + 2)
+                return obs_fields
 
             if not stats:
                 # Throughput flow (the packed path): same gating as the
@@ -553,20 +620,71 @@ def _one_config(
                 # it saves) minus the pair-count reduction.
                 hit, cop = carry3
 
+                if stage_cap == 0:
+                    # Profiling probe: mask + any() sync only (& rt_false
+                    # keeps the reduction live without ever setting hit).
+                    return (hit | (jnp.any(mask) & rt_false), cop)
+
                 def full2(c4):
+                    obs_fields = mk_obs_fields()
                     dist_o, dist_r, live = _tile_planes(rfield, obs_fields)
                     live = live & mask
+                    if stage_cap == 1:
+                        # Profiling probe: planes but never the interval
+                        # stage.
+                        h, cp = c4
+                        return (h | (jnp.any(live) & rt_false), cp)
+                    div = _probe_div if stage_cap == 3 else _true_div
 
-                    def rest2(c5):
+                    def bcast(fields):
+                        # Pre-broadcast [O,1] obstacle columns across the
+                        # robot lane axis with an exact rank-1 MXU product
+                        # (x @ ones = x in every lane): the VPU's
+                        # lane-broadcasts inside the ~200-op interval stage
+                        # were its hidden cost; one matmul per field makes
+                        # every downstream op a plain elementwise vreg op.
+                        ones = jnp.ones((1, rob_tile), jnp.float32)
+                        return {k: jax.lax.dot(v, ones)
+                                for k, v in fields.items()}
+
+                    def rest_on(obs_f, d_o, d_r, live_s, c5):
                         hit, cop = c5
-                        isect_t, coplanar = _tile_moller_rest(
-                            rfield, obs_fields, dist_o, dist_r
+                        if bcast_obs:
+                            obs_f = bcast(obs_f)
+                        return _tile_moller_rest(
+                            rfield, obs_f, d_o, d_r, live_s, hit, cop,
+                            div=div,
                         )
-                        return (hit | jnp.any(isect_t & live),
-                                cop | jnp.any(coplanar & live))
 
-                    return jax.lax.cond(jnp.any(live), rest2, lambda c: c,
-                                        c4)
+                    if not rest_sub:
+                        return jax.lax.cond(
+                            jnp.any(live),
+                            lambda c5: rest_on(obs_fields, dist_o, dist_r,
+                                               live, c5),
+                            lambda c5: c5, c4,
+                        )
+
+                    # Sub-block gating: the ~200-op interval stage is
+                    # compute-bound in tile AREA (measured: the mask/plane
+                    # stages and all scalar machinery are nearly free), and
+                    # live pairs cluster in few sublane groups thanks to
+                    # Morton ordering — so evaluate it only on [rest_sub,
+                    # rob_tile] row blocks that contain a live pair.
+                    c5 = c4
+                    for sb in range(obs_tile // rest_sub):
+                        sl = slice(sb * rest_sub, (sb + 1) * rest_sub)
+                        live_s = live[sl, :]
+                        obs_f = {k: v[sl, :] for k, v in obs_fields.items()}
+                        d_o = [d[sl, :] for d in dist_o]
+                        d_r = [d[sl, :] for d in dist_r]
+                        c5 = jax.lax.cond(
+                            jnp.any(live_s),
+                            lambda c6, obs_f=obs_f, d_o=d_o, d_r=d_r,
+                            live_s=live_s: rest_on(obs_f, d_o, d_r, live_s,
+                                                   c6),
+                            lambda c6: c6, c5,
+                        )
+                    return c5
 
                 return jax.lax.cond(jnp.any(mask), full2, lambda c4: c4,
                                     (hit, cop))
@@ -580,19 +698,16 @@ def _one_config(
                 # plane can neither collide nor count as live-coplanar, so
                 # an all-separated tile skips the expensive interval stage
                 # exactly.
+                obs_fields = mk_obs_fields()
                 dist_o, dist_r, live = _tile_planes(rfield, obs_fields)
                 live &= mask
 
                 def rest(c5):
                     hit, cop, npairs, nfull, ngate, nrest = c5
-                    isect_t, coplanar = _tile_moller_rest(
-                        rfield, obs_fields, dist_o, dist_r
+                    hit, cop = _tile_moller_rest(
+                        rfield, obs_fields, dist_o, dist_r, live, hit, cop
                     )
-                    return (
-                        hit | jnp.any(isect_t & live),
-                        cop | jnp.any(coplanar & live),
-                        npairs, nfull, ngate, nrest + 1,
-                    )
+                    return (hit, cop, npairs, nfull, ngate, nrest + 1)
 
                 c4 = (hit, cop, npairs + count, nfull + 1, ngate, nrest)
                 return jax.lax.cond(jnp.any(live), rest, lambda c5: c5, c4)
@@ -607,6 +722,12 @@ def _one_config(
 
             def obs_cond(state):
                 word, c = state
+                if not inner_exit:
+                    # Exit only between robot tiles: the inner loop's
+                    # continue-condition no longer depends on the previous
+                    # tile's any-hit reduction, breaking the scalar
+                    # dependency chain between consecutive tile bodies.
+                    return word != 0
                 return (word != 0) & jnp.logical_not(c[0])
 
             def obs_body(state, w=w):
@@ -664,13 +785,16 @@ class MegaKernelPrep:
     rob_base: np.ndarray  # [16, Tr] f32
     obs_t: np.ndarray  # [To, 24] f32
     obs_mesh_aabb: np.ndarray  # [1, 8] f32
-    obs_group_aabbs: np.ndarray  # [To/128, 8] f32 per-lane-group AABBs
+    obs_group_aabbs: np.ndarray  # [To/obs_tile, 8] f32 per-group AABBs
     obs_aabb_rows: np.ndarray  # [6, To] f32 tri AABBs in row layout
     num_rob_tiles: int
     num_obs_tiles: int
+    rob_tile: int = LANE
+    obs_tile: int = LANE
 
     @staticmethod
-    def build(robot: Mesh, obstacle: Mesh, morton: bool = True) -> "MegaKernelPrep":
+    def build(robot: Mesh, obstacle: Mesh, morton: bool = True,
+              rob_tile: int = LANE, obs_tile: int = LANE) -> "MegaKernelPrep":
         def corners(mesh: Mesh) -> np.ndarray:
             tv = mesh.vertices[mesh.triangles].astype(np.float64)  # [T,3,3]
             if morton:
@@ -678,15 +802,17 @@ class MegaKernelPrep:
                 tv = tv[order]
             return tv
 
+        assert rob_tile % LANE == 0 and obs_tile % LANE == 0, (rob_tile,
+                                                              obs_tile)
         rob_tv = corners(robot)
-        tr = round_up(rob_tv.shape[0], LANE)
+        tr = round_up(rob_tv.shape[0], rob_tile)
         rob_base = np.zeros((16, tr), dtype=np.float32)
         flat = rob_tv.reshape(rob_tv.shape[0], 9).T  # [9, T]
         rob_base[0:9, : rob_tv.shape[0]] = flat.astype(np.float32)
         rob_base[9, : rob_tv.shape[0]] = 1.0
 
         obs_tv = corners(obstacle).astype(np.float32)
-        to = round_up(obs_tv.shape[0], LANE)
+        to = round_up(obs_tv.shape[0], obs_tile)
         obs_t = np.zeros((to, _O_COLS), dtype=np.float32)
         obs_t[: obs_tv.shape[0], 0:9] = obs_tv.reshape(obs_tv.shape[0], 9)
         # Planes (same op order as ops.narrow.compute_plane, in f32).
@@ -717,16 +843,17 @@ class MegaKernelPrep:
         obs_mesh[0, 0:3] = obs_tv.reshape(-1, 3).min(axis=0)
         obs_mesh[0, 3:6] = obs_tv.reshape(-1, 3).max(axis=0)
 
-        # Per-128-triangle-group obstacle AABBs for the scalar-core gate.
-        # Morton ordering (above) makes these tight. Fully padded groups get
-        # an empty box; partially padded groups reduce over real rows only.
-        n_groups = to // LANE
+        # Per-obs_tile-triangle-group obstacle AABBs for the scalar-core
+        # gate. Morton ordering (above) makes these tight. Fully padded
+        # groups get an empty box; partially padded groups reduce over real
+        # rows only.
+        n_groups = to // obs_tile
         obs_grp = np.zeros((n_groups, 8), dtype=np.float32)
         obs_grp[:, 0:3] = np.inf
         obs_grp[:, 3:6] = -np.inf
         for g in range(n_groups):
-            lo = g * LANE
-            hi = min((g + 1) * LANE, obs_tv.shape[0])
+            lo = g * obs_tile
+            hi = min((g + 1) * obs_tile, obs_tv.shape[0])
             if hi > lo:
                 obs_grp[g, 0:3] = obs_tv[lo:hi].reshape(-1, 3).min(axis=0)
                 obs_grp[g, 3:6] = obs_tv[lo:hi].reshape(-1, 3).max(axis=0)
@@ -751,7 +878,7 @@ class MegaKernelPrep:
         # Robot-tile summary words live in misc cols 1..7 (col 0 = broad
         # flag, col 8+ = gate words). The VMEM budget binds first in
         # practice; this is a belt-and-braces guard.
-        assert _rob_any_words(tr // LANE) <= 7, tr
+        assert _rob_any_words(tr // rob_tile) <= 7, tr
 
         return MegaKernelPrep(
             rob_base=rob_base,
@@ -759,23 +886,32 @@ class MegaKernelPrep:
             obs_mesh_aabb=obs_mesh,
             obs_group_aabbs=obs_grp,
             obs_aabb_rows=obs_aabb_rows,
-            num_rob_tiles=tr // LANE,
-            num_obs_tiles=to // LANE,
+            num_rob_tiles=tr // rob_tile,
+            num_obs_tiles=to // obs_tile,
+            rob_tile=rob_tile,
+            obs_tile=obs_tile,
         )
 
 
 @functools.partial(jax.jit, static_argnames=("num_rob_tiles", "num_obs_tiles",
-                                             "interpret", "sweep", "stats"))
+                                             "rob_tile", "obs_tile",
+                                             "inner_exit", "interpret",
+                                             "sweep", "stats", "stage_cap",
+                                             "rest_sub", "bcast_obs"))
 def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
                obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
-               interpret=False, sweep=True, stats=True):
+               rob_tile=LANE, obs_tile=LANE, inner_exit=True,
+               interpret=False, sweep=True, stats=True, stage_cap=2,
+               rest_sub=0, bcast_obs=False):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
     tr = rob_base.shape[1]
     to = obs_t.shape[0]
     kernel = functools.partial(
         _kernel, num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
-        sweep=sweep, stats=stats,
+        rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
+        sweep=sweep, stats=stats, stage_cap=stage_cap, rest_sub=rest_sub,
+        bcast_obs=bcast_obs,
     )
     return pl.pallas_call(
         kernel,
@@ -835,10 +971,11 @@ OUT_COLS = 8
 
 
 @functools.partial(jax.jit, static_argnames=("num_rob_tiles", "num_obs_tiles",
+                                             "rob_tile", "obs_tile",
                                              "interpret"))
 def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
                       obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
-                      interpret=False):
+                      rob_tile=LANE, obs_tile=LANE, interpret=False):
     """Fused block check: pose construction + kernel + column trim, one jit.
 
     Trimming to OUT_COLS on-device matters: the kernel's [B, 128] int32
@@ -848,16 +985,22 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
         poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
         obs_aabb_rows,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
+        rob_tile=rob_tile, obs_tile=obs_tile,
         interpret=interpret,
     )
     return out[:, :OUT_COLS]
 
 
 @functools.partial(jax.jit, static_argnames=("num_rob_tiles", "num_obs_tiles",
-                                             "interpret", "sweep"))
+                                             "rob_tile", "obs_tile",
+                                             "inner_exit", "interpret",
+                                             "sweep", "stage_cap",
+                                             "rest_sub", "bcast_obs"))
 def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
                         obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
-                        interpret=False, sweep=True):
+                        rob_tile=LANE, obs_tile=LANE, inner_exit=True,
+                        interpret=False, sweep=True, stage_cap=2,
+                        rest_sub=0, bcast_obs=False):
     # stats=False: verdict bits only — drops the per-tile pair-count
     # reduction and one cond level per gated tile (a measured ~2x sweep
     # win); the impl path keeps full counters for the stats surface.
@@ -869,7 +1012,9 @@ def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
         poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
         obs_aabb_rows,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
-        interpret=interpret, sweep=sweep, stats=False,
+        rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
+        interpret=interpret, sweep=sweep, stats=False, stage_cap=stage_cap,
+        rest_sub=rest_sub, bcast_obs=bcast_obs,
     )
     return (out[:, 0] | (out[:, 1] << 1)).astype(jnp.uint8)
 
@@ -908,10 +1053,13 @@ class MegaKernelChecker:
     """
 
     def __init__(self, robot: Mesh, obstacle: Mesh, morton: bool = True,
-                 interpret: bool = False):
+                 interpret: bool = False, rob_tile: int = LANE,
+                 obs_tile: int = LANE):
         self.robot = robot
         self.obstacle = obstacle
-        self.prep = MegaKernelPrep.build(robot, obstacle, morton=morton)
+        self.prep = MegaKernelPrep.build(robot, obstacle, morton=morton,
+                                         rob_tile=rob_tile,
+                                         obs_tile=obs_tile)
         self._rob_base = jnp.asarray(self.prep.rob_base)
         self._obs_t = jnp.asarray(self.prep.obs_t)
         self._obs_aabb_rows = jnp.asarray(self.prep.obs_aabb_rows)
@@ -933,6 +1081,7 @@ class MegaKernelChecker:
             self._obs_aabb_rows,
             num_rob_tiles=self.prep.num_rob_tiles,
             num_obs_tiles=self.prep.num_obs_tiles,
+            rob_tile=self.prep.rob_tile, obs_tile=self.prep.obs_tile,
             interpret=self._interpret,
         )
 
@@ -995,6 +1144,8 @@ class MegaKernelChecker:
                     self._rob_base, self._obs_t, self._obs_aabb_rows,
                     num_rob_tiles=self.prep.num_rob_tiles,
                     num_obs_tiles=self.prep.num_obs_tiles,
+                    rob_tile=self.prep.rob_tile,
+                    obs_tile=self.prep.obs_tile,
                     interpret=self._interpret,
                 )
             )

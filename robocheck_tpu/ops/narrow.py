@@ -158,8 +158,14 @@ def intersect_line(
     return D, O
 
 
-def project_vertex(v: jnp.ndarray, D: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
-    """D . (V - O)  (`narrow-phase.cu:184-190`)."""
+def project_vertex(v: jnp.ndarray, D: jnp.ndarray,
+                   O: jnp.ndarray | None = None) -> jnp.ndarray:
+    """D . (V - O)  (`narrow-phase.cu:184-190`), or the origin-free D . V
+    when O is None (Moller'97's optimized projection: the line origin shifts
+    every interval endpoint of a pair equally, so it cancels in the
+    endpoint comparisons — computing it is pure cost)."""
+    if O is None:
+        return jnp.sum(D * v, axis=-1)
     return jnp.sum(D * (v - O), axis=-1)
 
 
@@ -202,7 +208,7 @@ def canonicalize(
 
 def parametric_t(
     v0: jnp.ndarray, v1: jnp.ndarray, d0: jnp.ndarray, d1: jnp.ndarray,
-    D: jnp.ndarray, O: jnp.ndarray,
+    D: jnp.ndarray, O: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Interval endpoint on the intersection line (`narrow-phase.cu:238-251`):
     t = p(v0) + (p(v1) - p(v0)) * d0 / (d0 - d1). The denominator can only
@@ -272,18 +278,24 @@ def pair_intersects(
     sep_r = no_overlap(dist_r)
     coplanar = is_coplanar(n_r, d_r, n_o, d_o)
 
-    D, O = intersect_line(n_r, d_r, n_o, d_o)
+    # Origin-free projection (Moller'97's optimized form): only the line
+    # DIRECTION matters — a shared origin shifts both triangles' interval
+    # endpoints equally and cancels in the >= comparisons, so the
+    # reference's 2x2 solves for it (`narrow-phase.cu:127-154`) are dropped.
+    # This changes FP rounding only, not the TOL-band semantics; verdict
+    # parity with the tagged goldens is asserted in CI and by bench.py.
+    D = jnp.cross(n_r, n_o)
     ctri_r, cdist_r = canonicalize(tri_r, dist_r)
     ctri_o, cdist_o = canonicalize(tri_o, dist_o)
 
     t_r01 = parametric_t(ctri_r[..., 0, :], ctri_r[..., 1, :],
-                         cdist_r[..., 0], cdist_r[..., 1], D, O)
+                         cdist_r[..., 0], cdist_r[..., 1], D)
     t_r12 = parametric_t(ctri_r[..., 1, :], ctri_r[..., 2, :],
-                         cdist_r[..., 1], cdist_r[..., 2], D, O)
+                         cdist_r[..., 1], cdist_r[..., 2], D)
     t_o01 = parametric_t(ctri_o[..., 0, :], ctri_o[..., 1, :],
-                         cdist_o[..., 0], cdist_o[..., 1], D, O)
+                         cdist_o[..., 0], cdist_o[..., 1], D)
     t_o12 = parametric_t(ctri_o[..., 1, :], ctri_o[..., 2, :],
-                         cdist_o[..., 1], cdist_o[..., 2], D, O)
+                         cdist_o[..., 1], cdist_o[..., 2], D)
 
     min_r = jnp.minimum(t_r01, t_r12)
     max_r = jnp.maximum(t_r01, t_r12)

@@ -81,6 +81,7 @@ class ShardedChecker:
                 confs, obs_mesh, obs_grp, rob_base, obs_t, obs_aabb_rows,
                 num_rob_tiles=prep.num_rob_tiles,
                 num_obs_tiles=prep.num_obs_tiles,
+                rob_tile=prep.rob_tile, obs_tile=prep.obs_tile,
                 interpret=interpret,
             )
             # Global statistics ride ICI: per-shard partial counts psum-reduced
@@ -110,6 +111,7 @@ class ShardedChecker:
                 confs, obs_mesh, obs_grp, rob_base, obs_t, obs_aabb_rows,
                 num_rob_tiles=prep.num_rob_tiles,
                 num_obs_tiles=prep.num_obs_tiles,
+                rob_tile=prep.rob_tile, obs_tile=prep.obs_tile,
                 interpret=interpret,
             )
 
@@ -197,3 +199,61 @@ class ShardedChecker:
 
         valid, cop = self.check_valid(confs, chunk=chunk)
         return resolve_coplanar(self.robot, self.obstacle, confs, valid, cop)
+
+    def check_valid_distributed(self, local_confs: np.ndarray,
+                                global_n: int):
+        """Multi-host throughput path (SPMD, one process per host).
+
+        Every process passes ONLY its own contiguous row shard of the global
+        batch (`runtime.distributed.shard_bounds` tells each host which file
+        rows to read) and receives verdicts for exactly those rows — the
+        global configuration array is assembled device-side via
+        ``jax.make_array_from_process_local_data``, never materialized on
+        any single host. The mesh must span all processes' devices (a 1-D
+        mesh over ``jax.devices()``; JAX orders devices by process, so
+        contiguous row shards land on the owning host's devices).
+
+        Verdicts are identical to the single-process path: same kernel, same
+        FP order, batch-parallel only (tests/test_distributed.py runs two
+        coordinated processes and asserts equality against goldens).
+
+        Args:
+          local_confs: [local_n, 6] this process's contiguous row shard.
+          global_n: total rows across processes (padding is added here so
+            every process pads identically).
+        Returns:
+          (valid, coplanar) bool arrays for the local shard, in row order.
+        """
+        import jax as _jax
+
+        nproc = _jax.process_count()
+        pidx = _jax.process_index()
+        local_confs = validate_confs(local_confs)
+        # Global padded size: divisible by (devices * CONFS_PER_PROGRAM) and
+        # by nproc so every process contributes equal local shards.
+        blk = self._block_multiple
+        padded = ((global_n + blk - 1) // blk) * blk
+        per_proc = padded // nproc
+        lo, hi = pidx * per_proc, (pidx + 1) * per_proc
+        # This process's padded local block (rows outside the dataset are
+        # far-away padding that exits at the in-kernel broad phase).
+        local = np.zeros((per_proc, 6), dtype=np.float32)
+        local[:, 0] = 1.0e9
+        n_local = local_confs.shape[0]
+        local[:n_local] = local_confs
+        garr = _jax.make_array_from_process_local_data(
+            self._conf_sharding, local, (padded, 6)
+        )
+        packed = self._sharded_packed(
+            garr, self._obs_mesh, self._obs_grp, self._rob_base,
+            self._obs_t, self._obs_aabb_rows,
+        )
+        # Reassemble this process's rows from its addressable shards.
+        out = np.zeros((per_proc,), dtype=np.uint8)
+        for s in packed.addressable_shards:
+            start = s.index[0].start or 0
+            out[start - lo : start - lo + s.data.shape[0]] = np.asarray(
+                s.data
+            )
+        out = out[:n_local]
+        return (out & 1).astype(bool), (out >> 1).astype(bool)

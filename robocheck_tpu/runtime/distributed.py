@@ -20,21 +20,25 @@ def initialize_from_env() -> None:
     """Initialize `jax.distributed` when launched as a multi-host job.
 
     Reads the standard coordination env vars (COORDINATOR_ADDRESS,
-    NUM_PROCESSES, PROCESS_ID) or TPU-pod metadata (auto-detection). Safe to
-    call in single-process runs — it is a no-op unless multi-host env vars
-    are present.
+    NUM_PROCESSES, PROCESS_ID). Safe to call in single-process runs — it is
+    a no-op unless the multi-host env vars are present. Must run before any
+    backend-initializing JAX call (so this function itself touches no JAX
+    state unless it actually initializes).
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     coord = os.environ.get("COORDINATOR_ADDRESS")
     nproc = os.environ.get("NUM_PROCESSES")
     pid = os.environ.get("PROCESS_ID")
-    if coord and nproc and pid:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(nproc),
-            process_id=int(pid),
-        )
+    if not (coord and nproc and pid):
+        return
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return  # already initialized
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(nproc),
+        process_id=int(pid),
+    )
 
 
 def shard_bounds(total: int, process_index: int | None = None,
