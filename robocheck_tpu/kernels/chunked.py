@@ -56,20 +56,39 @@ class ChunkedMegaKernelChecker:
     """Fused checking for mesh pairs beyond the single-kernel VMEM budget.
 
     API-compatible with :class:`MegaKernelChecker` (``check``,
-    ``check_valid``). Each sub-checker reruns the whole batch, so throughput
-    scales ~1/(n_rob_chunks * n_obs_chunks); per-chunk broad phases cull
-    configurations that miss that chunk's AABB, which Morton-tight chunks
-    make effective.
+    ``check_valid``). ``check_valid`` compacts per chunk pair: each
+    sub-checker's cheap XLA broad phase (bit-identical to its kernel's
+    stage 1) selects only the configurations whose robot AABB overlaps THAT
+    chunk's obstacle box, so throughput scales with surviving work rather
+    than with n_rob_chunks * n_obs_chunks — Morton-tight chunk AABBs are
+    what make the per-chunk cull effective. Verdicts are exactly the
+    uncompacted ones: a configuration skipped for a chunk pair would have
+    exited at that kernel's in-kernel broad phase anyway.
+
+    Pass ``mesh=`` (a `jax.sharding.Mesh`) to run every chunk pair through
+    a batch-sharded :class:`parallel.sharding.ShardedChecker` — oversized
+    meshes and multi-chip sharding compose.
     """
 
     def __init__(self, robot: Mesh, obstacle: Mesh, morton: bool = True,
                  interpret: bool = False,
                  max_rob_tris: int = MAX_ROB_TRIS,
-                 max_obs_tris: int = MAX_OBS_TRIS):
+                 max_obs_tris: int = MAX_OBS_TRIS,
+                 mesh=None):
         self.robot = robot
         self.obstacle = obstacle
+        if mesh is not None:
+            from ..parallel.sharding import ShardedChecker
+
+            def build(r, o):
+                return ShardedChecker(r, o, mesh=mesh, morton=morton,
+                                      interpret=interpret)
+        else:
+            def build(r, o):
+                return MegaKernelChecker(r, o, morton=morton,
+                                         interpret=interpret)
         self.checkers = [
-            MegaKernelChecker(r, o, morton=morton, interpret=interpret)
+            build(r, o)
             for r in split_mesh(robot, max_rob_tris)
             for o in split_mesh(obstacle, max_obs_tris)
         ]
@@ -78,13 +97,25 @@ class ChunkedMegaKernelChecker:
     def num_chunk_pairs(self) -> int:
         return len(self.checkers)
 
-    def check_valid(self, confs: np.ndarray, chunk: int | None = None):
-        valid = None
-        coplanar = None
+    def check_valid(self, confs: np.ndarray, chunk: int | None = None,
+                    compact: bool = True):
+        n = np.asarray(confs).shape[0]
+        valid = np.ones((n,), dtype=bool)
+        coplanar = np.zeros((n,), dtype=bool)
         for ck in self.checkers:
-            v, c = ck.check_valid(confs, chunk=chunk)
-            valid = v if valid is None else (valid & v)
-            coplanar = c if coplanar is None else (coplanar | c)
+            if compact:
+                hits = np.asarray(ck.broad_block(np.asarray(
+                    confs, dtype=np.float32)))
+                idx = np.nonzero(hits)[0]
+                if not idx.size:
+                    continue
+                v, c = ck.check_valid(confs[idx], chunk=chunk)
+                valid[idx] &= v
+                coplanar[idx] |= c
+            else:
+                v, c = ck.check_valid(confs, chunk=chunk)
+                valid &= v
+                coplanar |= c
         return valid, coplanar
 
     def check_valid_resolved(self, confs: np.ndarray,
@@ -112,12 +143,23 @@ class ChunkedMegaKernelChecker:
 
 
 def make_checker(robot: Mesh, obstacle: Mesh, morton: bool = True,
-                 interpret: bool = False):
-    """One checker for any mesh sizes: fused when the pair fits VMEM,
-    chunked-fused otherwise."""
+                 interpret: bool = False, mesh=None):
+    """One checker for any mesh sizes (and optionally any device count):
+    fused when the pair fits VMEM, Morton-chunked-fused otherwise; sharded
+    over ``mesh`` (a `jax.sharding.Mesh`) when one is given."""
     try:
+        if mesh is not None:
+            from ..parallel.sharding import ShardedChecker
+
+            # Probe the VMEM budget first (ShardedChecker builds the same
+            # prep), then construct the sharded checker.
+            from .megakernel import MegaKernelPrep
+
+            MegaKernelPrep.build(robot, obstacle, morton=morton)
+            return ShardedChecker(robot, obstacle, mesh=mesh, morton=morton,
+                                  interpret=interpret)
         return MegaKernelChecker(robot, obstacle, morton=morton,
                                  interpret=interpret)
     except VmemBudgetError:
         return ChunkedMegaKernelChecker(robot, obstacle, morton=morton,
-                                        interpret=interpret)
+                                        interpret=interpret, mesh=mesh)

@@ -289,7 +289,10 @@ def _rob_any_words(num_rob_tiles: int) -> int:
 
 
 def _misc_cols(num_rob_tiles: int, num_obs_tiles: int) -> int:
-    return round_up(8 + num_rob_tiles * _gate_words(num_obs_tiles), LANE)
+    # Col 0 broad flag, 1..3 hot summary words, 4..6 cold summary words,
+    # col 7 always-zero (the profiling probes' runtime-false source), then
+    # hot gate words followed by cold gate words.
+    return round_up(8 + 2 * num_rob_tiles * _gate_words(num_obs_tiles), LANE)
 
 
 def _ctz16(word):
@@ -326,6 +329,8 @@ def _kernel(
     stage_cap: int = 2,
     rest_sub: int = 0,
     bcast_obs: bool = False,
+    hot_thresh: float = 1024.0,
+    fuse_planes: bool = False,
 ):
     # ---- Stage 1 (vectorized across the block's configurations):
     # transform pre-gathered corners; planes; mini-AABBs; broad flags. ----
@@ -441,13 +446,22 @@ def _kernel(
 
         # Col side: per robot tile i, count obs tri boxes touching its group
         # box, segment-reduced over obstacle tiles -> [CPB, n_obs_tiles].
-        # Also fold a per-config summary word (bit i = "robot tile i has any
-        # gate bit") into cols 1..r_words so the sweep's outer loop can
-        # iterate set bits only.
+        # Gates split into HOT words (estimated pair count row*col >=
+        # hot_thresh) and COLD words (the rest): the sweep visits hot tiles
+        # first, so colliding configurations — whose contact tile is almost
+        # always the densest — take the any-hit exit after ~1 visit instead
+        # of scanning in Morton order. Valid configurations visit the same
+        # set either way. Per-config summary words (bit i = "robot tile i
+        # has any hot/cold gate bit") land in cols 1..3 (hot) and 4..6
+        # (cold).
         misc_val = broad_col
         r_words = _rob_any_words(num_rob_tiles)
-        rob_any = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
-                   for _ in range(r_words)]
+        rob_any_h = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
+                     for _ in range(r_words)]
+        rob_any_c = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
+                     for _ in range(r_words)]
+        thresh = jnp.float32(hot_thresh)
+        cold_base = 8 + num_rob_tiles * n_words
         for i in range(num_rob_tiles):
             sl = slice(i * rob_tile, (i + 1) * rob_tile)
             rg_lo = [jnp.min(los[k][:, sl], axis=1, keepdims=True)
@@ -462,28 +476,38 @@ def _kernel(
                 m = ax if m is None else (m & ax)
             col_counts = jax.lax.dot(m.astype(jnp.float32), seg_o)
 
-            words = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
-                     for _ in range(n_words)]
+            words_h = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
+                       for _ in range(n_words)]
+            words_c = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
+                       for _ in range(n_words)]
             for j in range(num_obs_tiles):
-                gate = (row_counts[j][:, i : i + 1] > 0.0) & (
-                    col_counts[:, j : j + 1] > 0.0
-                )
+                rc = row_counts[j][:, i : i + 1]
+                cc_ = col_counts[:, j : j + 1]
+                gate = (rc > 0.0) & (cc_ > 0.0)
+                hot = gate & (rc * cc_ >= thresh)
                 w, b = divmod(j, _GATE_WORD_BITS)
-                words[w] = words[w] + gate.astype(jnp.float32) * jnp.float32(
-                    1 << b
-                )
-            any_i = words[0]
-            for w in range(1, n_words):
-                any_i = any_i + words[w]
+                bit = jnp.float32(1 << b)
+                words_h[w] = words_h[w] + hot.astype(jnp.float32) * bit
+                words_c[w] = words_c[w] + (
+                    gate & jnp.logical_not(hot)
+                ).astype(jnp.float32) * bit
             wi, bi = divmod(i, _GATE_WORD_BITS)
-            rob_any[wi] = rob_any[wi] + (any_i > 0.0).astype(
-                jnp.float32
-            ) * jnp.float32(1 << bi)
+            for rob_any, words in ((rob_any_h, words_h), (rob_any_c,
+                                                          words_c)):
+                any_i = words[0]
+                for w in range(1, n_words):
+                    any_i = any_i + words[w]
+                rob_any[wi] = rob_any[wi] + (any_i > 0.0).astype(
+                    jnp.float32
+                ) * jnp.float32(1 << bi)
             for w in range(n_words):
-                misc_val = jnp.where(col == 8 + i * n_words + w, words[w],
+                misc_val = jnp.where(col == 8 + i * n_words + w, words_h[w],
                                      misc_val)
+                misc_val = jnp.where(col == cold_base + i * n_words + w,
+                                     words_c[w], misc_val)
         for w in range(r_words):
-            misc_val = jnp.where(col == 1 + w, rob_any[w], misc_val)
+            misc_val = jnp.where(col == 1 + w, rob_any_h[w], misc_val)
+            misc_val = jnp.where(col == 4 + w, rob_any_c[w], misc_val)
         misc[...] = misc_val
 
     # ---- Stage 2+3 per configuration: gated tile sweep. ----
@@ -497,6 +521,7 @@ def _kernel(
                 num_obs_tiles=num_obs_tiles, rob_tile=rob_tile,
                 obs_tile=obs_tile, inner_exit=inner_exit, stats=stats,
                 stage_cap=stage_cap, rest_sub=rest_sub, bcast_obs=bcast_obs,
+                fuse_planes=fuse_planes,
             )
         else:
             broad = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
@@ -526,6 +551,7 @@ def _one_config(
     *, num_rob_tiles: int, num_obs_tiles: int, rob_tile: int = LANE,
     obs_tile: int = LANE, inner_exit: bool = True, stats: bool = True,
     stage_cap: int = 2, rest_sub: int = 0, bcast_obs: bool = False,
+    fuse_planes: bool = False,
 ):
     broad_hit = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
     # Runtime-false scalar for the stage_cap profiling probes: misc col 7 is
@@ -550,11 +576,11 @@ def _one_config(
     n_words = _gate_words(num_obs_tiles)
     r_words = _rob_any_words(num_rob_tiles)
 
-    def load_words(i):
+    def load_words(i, base0):
         # Gate-word loads need a static lane column -> switch over tiles.
         def mk(i0):
             def branch():
-                base = 8 + i0 * n_words
+                base = base0 + i0 * n_words
                 return tuple(
                     misc[pl.ds(cc, 1), base + w : base + w + 1][0, 0]
                     .astype(jnp.int32)
@@ -563,8 +589,8 @@ def _one_config(
             return branch
         return jax.lax.switch(i, [mk(i0) for i0 in range(num_rob_tiles)])
 
-    def eval_rob_tile(i, carry):
-        words = load_words(i)
+    def eval_rob_tile(i, carry, base0):
+        words = load_words(i, base0)
         roff = pl.multiple_of(i * rob_tile, rob_tile)
 
         # ONE wide dynamic load for this robot tile's 19 field rows ([1, 24,
@@ -624,6 +650,23 @@ def _one_config(
                     # Profiling probe: mask + any() sync only (& rt_false
                     # keeps the reduction live without ever setting hit).
                     return (hit | (jnp.any(mask) & rt_false), cop)
+
+                if fuse_planes:
+                    # One gate level per visit: mask + planes evaluated
+                    # unconditionally (37 issue-bound ops), a single
+                    # any(live) sync, and straight to the interval stage.
+                    obs_fields = mk_obs_fields()
+                    dist_o, dist_r, live = _tile_planes(rfield, obs_fields)
+                    live = live & mask
+
+                    def restf(c5):
+                        h, cp = c5
+                        return _tile_moller_rest(
+                            rfield, obs_fields, dist_o, dist_r, live, h, cp,
+                        )
+
+                    return jax.lax.cond(jnp.any(live), restf, lambda c: c,
+                                        (hit, cop))
 
                 def full2(c4):
                     obs_fields = mk_obs_fields()
@@ -740,20 +783,30 @@ def _one_config(
         return carry2
 
     def run_tiles():
+        # Two passes: HOT tiles (high estimated pair count — where a
+        # colliding configuration's contact almost always is) first, COLD
+        # tiles after. The any-hit exit in the loop conditions makes the
+        # cold pass free for configurations resolved in the hot pass;
+        # valid configurations visit the same tile set either way.
         carry = zero_carry
-        for w in range(r_words):
-            rw0 = misc[pl.ds(cc, 1), 1 + w : 2 + w][0, 0].astype(jnp.int32)
+        cold_base = 8 + num_rob_tiles * n_words
+        for summary_col, base0 in ((1, 8), (4, cold_base)):
+            for w in range(r_words):
+                rw0 = misc[
+                    pl.ds(cc, 1), summary_col + w : summary_col + w + 1
+                ][0, 0].astype(jnp.int32)
 
-            def rob_cond(state):
-                rw, c = state
-                return (rw != 0) & jnp.logical_not(c[0])
+                def rob_cond(state):
+                    rw, c = state
+                    return (rw != 0) & jnp.logical_not(c[0])
 
-            def rob_body(state, w=w):
-                rw, c = state
-                i = w * _GATE_WORD_BITS + _ctz16(rw)
-                return (rw & (rw - 1), eval_rob_tile(i, c))
+                def rob_body(state, w=w, base0=base0):
+                    rw, c = state
+                    i = w * _GATE_WORD_BITS + _ctz16(rw)
+                    return (rw & (rw - 1), eval_rob_tile(i, c, base0))
 
-            _, carry = jax.lax.while_loop(rob_cond, rob_body, (rw0, carry))
+                _, carry = jax.lax.while_loop(rob_cond, rob_body,
+                                              (rw0, carry))
         return carry
 
     carry_out = jax.lax.cond(broad_hit, run_tiles, lambda: zero_carry)
@@ -875,10 +928,11 @@ class MegaKernelPrep:
                 f"kernels.chunked.make_checker (automatic Morton-chunked "
                 f"dispatch) or ops.pipeline.CollisionWorld"
             )
-        # Robot-tile summary words live in misc cols 1..7 (col 0 = broad
-        # flag, col 8+ = gate words). The VMEM budget binds first in
-        # practice; this is a belt-and-braces guard.
-        assert _rob_any_words(tr // rob_tile) <= 7, tr
+        # Robot-tile summary words live in misc cols 1..3 (hot) and 4..6
+        # (cold); col 0 = broad flag, col 7 reserved zero, col 8+ = gate
+        # words. The VMEM budget binds first in practice; this is a
+        # belt-and-braces guard.
+        assert _rob_any_words(tr // rob_tile) <= 3, tr
 
         return MegaKernelPrep(
             rob_base=rob_base,
@@ -897,12 +951,14 @@ class MegaKernelPrep:
                                              "rob_tile", "obs_tile",
                                              "inner_exit", "interpret",
                                              "sweep", "stats", "stage_cap",
-                                             "rest_sub", "bcast_obs"))
+                                             "rest_sub", "bcast_obs",
+                                             "hot_thresh", "fuse_planes"))
 def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
                obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
                rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                interpret=False, sweep=True, stats=True, stage_cap=2,
-               rest_sub=0, bcast_obs=False):
+               rest_sub=0, bcast_obs=False, hot_thresh=1024.0,
+               fuse_planes=False):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
     tr = rob_base.shape[1]
@@ -911,7 +967,7 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
         _kernel, num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         sweep=sweep, stats=stats, stage_cap=stage_cap, rest_sub=rest_sub,
-        bcast_obs=bcast_obs,
+        bcast_obs=bcast_obs, hot_thresh=hot_thresh, fuse_planes=fuse_planes,
     )
     return pl.pallas_call(
         kernel,
@@ -995,12 +1051,14 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
                                              "rob_tile", "obs_tile",
                                              "inner_exit", "interpret",
                                              "sweep", "stage_cap",
-                                             "rest_sub", "bcast_obs"))
+                                             "rest_sub", "bcast_obs",
+                                             "hot_thresh", "fuse_planes"))
 def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
                         obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
                         rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                         interpret=False, sweep=True, stage_cap=2,
-                        rest_sub=0, bcast_obs=False):
+                        rest_sub=0, bcast_obs=False, hot_thresh=1024.0,
+                        fuse_planes=False):
     # stats=False: verdict bits only — drops the per-tile pair-count
     # reduction and one cond level per gated tile (a measured ~2x sweep
     # win); the impl path keeps full counters for the stats surface.
@@ -1014,9 +1072,43 @@ def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         interpret=interpret, sweep=sweep, stats=False, stage_cap=stage_cap,
-        rest_sub=rest_sub, bcast_obs=bcast_obs,
+        rest_sub=rest_sub, bcast_obs=bcast_obs, hot_thresh=hot_thresh,
+        fuse_planes=fuse_planes,
     )
     return (out[:, 0] | (out[:, 1] << 1)).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _broad_sort(confs, corner_pts, corner_mask, obs_lo, obs_hi):
+    """Device-side presort for the streamed path: broad phase + stable
+    partition with broad-phase HITS first. Returns (sorted_confs, dest)
+    where dest[i] is row i's position in the sorted array (so un-permuting
+    the packed verdicts is a plain row gather). Implemented with cumsums +
+    one iota scatter + row gathers — a real argsort is O(n log^2 n)
+    comparator stages on TPU and measured tens of ms at 100k rows, while
+    this is linear. Runs entirely on device so the streamed dispatch
+    pipeline never pays a host round trip (a blocking broad-phase fetch
+    measured ~90 ms on the tethered link vs ~0.1 ms of device time)."""
+    hits = _broad_overlap(confs, corner_pts, corner_mask, obs_lo, obs_hi)
+    n = confs.shape[0]
+    nh = jnp.cumsum(hits.astype(jnp.int32))
+    n_hit = nh[-1]
+    nm = jnp.cumsum(jnp.logical_not(hits).astype(jnp.int32))
+    dest = jnp.where(hits, nh - 1, n_hit + nm - 1)
+    src = jnp.zeros((n,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True
+    )
+    return confs[src], dest, n_hit
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _slice_chunk(arr, lo, *, chunk):
+    return jax.lax.dynamic_slice(arr, (lo, 0), (chunk, arr.shape[1]))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _unpermute(packed_sorted, dest):
+    return packed_sorted[dest]
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -1107,7 +1199,8 @@ class MegaKernelChecker:
     # that uploads of chunk i+1 overlap the kernel of chunk i.
     STREAM_CHUNK = 16384
 
-    def check_valid(self, confs: np.ndarray, chunk: int | None = None):
+    def check_valid(self, confs: np.ndarray, chunk: int | None = None,
+                    presort: bool | None = None):
         """Throughput path: [N,6] configs -> (valid[N], coplanar[N]) bool.
 
         Single-phase (the kernel's in-kernel broad phase handles misses) and
@@ -1116,6 +1209,16 @@ class MegaKernelChecker:
         JAX async dispatch — no host sync between phases, no survivor
         re-upload. Same verdicts as ``check``
         (tests/test_megakernel.py::TestCheckValid asserts it).
+
+        ``presort`` (default on for batches larger than one chunk) first
+        runs the cheap XLA broad phase — bit-identical FP order to the
+        kernel's stage 1 — over the whole batch and orders broad-phase HITS
+        first. Chunks past the hits are never dispatched (a broad miss is
+        `valid=True, coplanar=False` by construction), and hit-dense chunks
+        skip the per-program gate-precompute waste that randomly scattered
+        hits cause. Verdicts are identical either way; this is the
+        reference's skip-if-already-valid contract
+        (`narrow-phase.cu:698-699`) at batch scale with static shapes.
         """
         confs = validate_confs(confs)
         n = confs.shape[0]
@@ -1124,12 +1227,67 @@ class MegaKernelChecker:
             out_v = np.zeros((n,), dtype=bool)
             out_c = np.zeros((n,), dtype=bool)
             if finite.any():
-                v, c = self.check_valid(confs[finite], chunk=chunk)
+                v, c = self.check_valid(confs[finite], chunk=chunk,
+                                        presort=presort)
                 out_v[finite] = v
                 out_c[finite] = c
             return out_v, out_c
         chunk = chunk or self.STREAM_CHUNK
         chunk = max(CONFS_PER_PROGRAM, chunk - chunk % CONFS_PER_PROGRAM)
+        if presort is None:
+            # Default OFF: on this tethered deployment the one scalar sync
+            # (~30-40 ms link round trip) costs more than the dispatches it
+            # saves, measured on both datasets. On a directly-attached TPU
+            # (sync ~0.1 ms) presort wins on sparse batches — opt in.
+            presort = False
+        if presort:
+            # Fully device-side: broad phase, hits-first argsort, gather,
+            # per-chunk kernel dispatches on the sorted array, inverse
+            # permutation — then ONE packed fetch. No host sync anywhere in
+            # the pipeline (the blocking broad fetch this replaces cost
+            # ~90 ms on the tethered link). Sorting clusters broad hits into
+            # few programs, so all-miss programs take the vectorized store
+            # path and skip gate precompute; verdicts are identical (the
+            # broad phase is the kernel's own stage 1, bit for bit, and
+            # configurations are independent).
+            padded = ((n + chunk - 1) // chunk) * chunk
+            cpad = confs
+            if padded > n:
+                tail = np.zeros((padded - n, 6), dtype=np.float32)
+                tail[:, 0] = 1.0e9  # far away: sorts to the miss tail
+                cpad = np.concatenate([confs, tail], axis=0)
+            sorted_confs, dest, n_hit = _broad_sort(
+                jnp.asarray(cpad), self._corner_pts, self._corner_mask,
+                self._obs_lo, self._obs_hi,
+            )
+            # ONE scalar sync: how many chunks actually contain broad hits.
+            # Chunks past that are never dispatched — a broad miss is
+            # valid=True/coplanar=False by construction, so their packed
+            # byte is the constant 1, filled on device.
+            k = int(np.asarray(n_hit))
+            nchunks = (min(k, n) + chunk - 1) // chunk
+            outs = []
+            for ci in range(nchunks):
+                part = _slice_chunk(sorted_confs, ci * chunk, chunk=chunk)
+                outs.append(
+                    _check_block_packed(
+                        part, self._obs_mesh, self._obs_grp,
+                        self._rob_base, self._obs_t, self._obs_aabb_rows,
+                        num_rob_tiles=self.prep.num_rob_tiles,
+                        num_obs_tiles=self.prep.num_obs_tiles,
+                        rob_tile=self.prep.rob_tile,
+                        obs_tile=self.prep.obs_tile,
+                        interpret=self._interpret,
+                    )
+                )
+            if nchunks * chunk < padded:
+                outs.append(jnp.ones((padded - nchunks * chunk,),
+                                     dtype=jnp.uint8))
+            packed = _unpermute(
+                outs[0] if len(outs) == 1 else jnp.concatenate(outs), dest
+            )
+            packed = np.asarray(packed)[:n]
+            return (packed & 1).astype(bool), (packed >> 1).astype(bool)
         outs = []
         for lo in range(0, n, chunk):
             part = confs[lo : lo + chunk]

@@ -125,6 +125,20 @@ class ShardedChecker:
                              self._rob_base, self._obs_t,
                              self._obs_aabb_rows)
 
+    def broad_block(self, confs: jnp.ndarray) -> np.ndarray:
+        """[B,6] -> [B] bool mesh-AABB overlap, bit-identical to the
+        kernel's stage 1 (same XLA twin as the single-chip checker). Runs
+        replicated (the batch is tiny work compared to the narrow phase);
+        used by the chunked driver to compact before dispatch."""
+        rb = self.prep.rob_base
+        pts = rb[0:9].T.reshape(-1, 3, 3).reshape(-1, 3)
+        return np.asarray(mk._broad_overlap(
+            jnp.asarray(confs), jnp.asarray(pts),
+            jnp.asarray(np.repeat(rb[9] > 0, 3)),
+            jnp.asarray(self.prep.obs_mesh_aabb[0, 0:3]),
+            jnp.asarray(self.prep.obs_mesh_aabb[0, 3:6]),
+        ))
+
     def check(self, confs: np.ndarray):
         confs = validate_confs(confs)
         n = confs.shape[0]

@@ -119,3 +119,45 @@ def test_chunked_oversized_end_to_end(worlds, rng):
     v, _ = checker.check_valid(confs)
     gt = cpu_oracle.check_configs(robot, big_obs, confs)
     np.testing.assert_array_equal(v, gt)
+
+
+def test_chunked_compaction_matches_uncompacted(worlds, confs):
+    robot, obstacle = worlds
+    chunked = ChunkedMegaKernelChecker(
+        robot, obstacle, interpret=True, max_rob_tris=64, max_obs_tris=128
+    )
+    v0, c0 = chunked.check_valid(confs, chunk=16, compact=False)
+    v1, c1 = chunked.check_valid(confs, chunk=16, compact=True)
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_array_equal(c0, c1)
+
+
+def test_sharded_chunked_composition(worlds, confs):
+    # Oversized meshes x multi-chip sharding: every chunk pair runs through
+    # a batch-sharded checker on the 8-device CPU mesh, verdicts match the
+    # float64 oracle and the single-chip chunked path.
+    from robocheck_tpu.parallel.sharding import make_mesh
+
+    robot, obstacle = worlds
+    mesh = make_mesh(8)
+    sharded = ChunkedMegaKernelChecker(
+        robot, obstacle, interpret=True, max_rob_tris=64, max_obs_tris=128,
+        mesh=mesh,
+    )
+    plain = ChunkedMegaKernelChecker(
+        robot, obstacle, interpret=True, max_rob_tris=64, max_obs_tris=128
+    )
+    v0, c0 = plain.check_valid(confs)
+    v1, c1 = sharded.check_valid(confs)
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_array_equal(c0, c1)
+    gt = cpu_oracle.check_configs(robot, obstacle, confs)
+    np.testing.assert_array_equal(v1, gt)
+
+
+def test_make_checker_mesh_dispatch(worlds):
+    from robocheck_tpu.parallel.sharding import ShardedChecker, make_mesh
+
+    robot, obstacle = worlds
+    ck = make_checker(robot, obstacle, interpret=True, mesh=make_mesh(8))
+    assert isinstance(ck, ShardedChecker)

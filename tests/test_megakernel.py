@@ -252,3 +252,21 @@ class TestCoplanarResolution:
         out = resolve_coplanar(robot, obstacle, np.zeros((2, 6), np.float32),
                                valid, cop)
         np.testing.assert_array_equal(out, [False, True])
+
+
+def test_presort_matches_plain(sphere_world):
+    # Broad-phase presort + never-dispatched all-miss tail must be verdict-
+    # identical to the plain streamed path, with order restored.
+    robot, obstacle = sphere_world
+    mk = MegaKernelChecker(robot, obstacle, interpret=True)
+    rng = np.random.default_rng(3)
+    confs = np.zeros((40, 6), np.float32)
+    confs[:, 0] = rng.permutation(
+        np.concatenate([rng.uniform(0.0, 2.4, 25),      # hits
+                        rng.uniform(50.0, 90.0, 15)])    # misses
+    ).astype(np.float32)
+    confs[:, 3:6] = rng.uniform(-np.pi, np.pi, (40, 3)).astype(np.float32)
+    v0, c0 = mk.check_valid(confs, chunk=8, presort=False)
+    v1, c1 = mk.check_valid(confs, chunk=8, presort=True)
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_array_equal(c0, c1)
