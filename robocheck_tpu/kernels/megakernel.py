@@ -331,6 +331,7 @@ def _kernel(
     bcast_obs: bool = False,
     hot_thresh: float = 1024.0,
     fuse_planes: bool = False,
+    skip_live_gate: bool = False,
 ):
     # ---- Stage 1 (vectorized across the block's configurations):
     # transform pre-gathered corners; planes; mini-AABBs; broad flags. ----
@@ -521,7 +522,7 @@ def _kernel(
                 num_obs_tiles=num_obs_tiles, rob_tile=rob_tile,
                 obs_tile=obs_tile, inner_exit=inner_exit, stats=stats,
                 stage_cap=stage_cap, rest_sub=rest_sub, bcast_obs=bcast_obs,
-                fuse_planes=fuse_planes,
+                fuse_planes=fuse_planes, skip_live_gate=skip_live_gate,
             )
         else:
             broad = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
@@ -551,7 +552,7 @@ def _one_config(
     *, num_rob_tiles: int, num_obs_tiles: int, rob_tile: int = LANE,
     obs_tile: int = LANE, inner_exit: bool = True, stats: bool = True,
     stage_cap: int = 2, rest_sub: int = 0, bcast_obs: bool = False,
-    fuse_planes: bool = False,
+    fuse_planes: bool = False, skip_live_gate: bool = False,
 ):
     broad_hit = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
     # Runtime-false scalar for the stage_cap profiling probes: misc col 7 is
@@ -700,6 +701,11 @@ def _one_config(
                         )
 
                     if not rest_sub:
+                        if skip_live_gate:
+                            # Mask-passing tiles run planes+interval straight
+                            # through: one sync per visit instead of two.
+                            return rest_on(obs_fields, dist_o, dist_r, live,
+                                           c4)
                         return jax.lax.cond(
                             jnp.any(live),
                             lambda c5: rest_on(obs_fields, dist_o, dist_r,
@@ -952,13 +958,14 @@ class MegaKernelPrep:
                                              "inner_exit", "interpret",
                                              "sweep", "stats", "stage_cap",
                                              "rest_sub", "bcast_obs",
-                                             "hot_thresh", "fuse_planes"))
+                                             "hot_thresh", "fuse_planes",
+                                             "skip_live_gate"))
 def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
                obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
                rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                interpret=False, sweep=True, stats=True, stage_cap=2,
                rest_sub=0, bcast_obs=False, hot_thresh=1024.0,
-               fuse_planes=False):
+               fuse_planes=False, skip_live_gate=False):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
     tr = rob_base.shape[1]
@@ -968,6 +975,7 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         sweep=sweep, stats=stats, stage_cap=stage_cap, rest_sub=rest_sub,
         bcast_obs=bcast_obs, hot_thresh=hot_thresh, fuse_planes=fuse_planes,
+        skip_live_gate=skip_live_gate,
     )
     return pl.pallas_call(
         kernel,
@@ -1052,13 +1060,14 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
                                              "inner_exit", "interpret",
                                              "sweep", "stage_cap",
                                              "rest_sub", "bcast_obs",
-                                             "hot_thresh", "fuse_planes"))
+                                             "hot_thresh", "fuse_planes",
+                                             "skip_live_gate"))
 def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
                         obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
                         rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                         interpret=False, sweep=True, stage_cap=2,
                         rest_sub=0, bcast_obs=False, hot_thresh=1024.0,
-                        fuse_planes=False):
+                        fuse_planes=False, skip_live_gate=False):
     # stats=False: verdict bits only — drops the per-tile pair-count
     # reduction and one cond level per gated tile (a measured ~2x sweep
     # win); the impl path keeps full counters for the stats surface.
@@ -1073,7 +1082,7 @@ def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         interpret=interpret, sweep=sweep, stats=False, stage_cap=stage_cap,
         rest_sub=rest_sub, bcast_obs=bcast_obs, hot_thresh=hot_thresh,
-        fuse_planes=fuse_planes,
+        fuse_planes=fuse_planes, skip_live_gate=skip_live_gate,
     )
     return (out[:, 0] | (out[:, 1] << 1)).astype(jnp.uint8)
 

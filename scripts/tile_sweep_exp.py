@@ -76,12 +76,13 @@ def main() -> int:
         bco = bool(parts[5]) if len(parts) > 5 else False
         hot = float(parts[6]) if len(parts) > 6 else 1024.0
         fp = bool(parts[7]) if len(parts) > 7 else False
+        slg = bool(parts[8]) if len(parts) > 8 else False
         t0 = time.perf_counter()
         ck = mk.MegaKernelChecker(robot, obstacle, interpret=interpret,
                                   rob_tile=rt, obs_tile=ot)
 
         def packed(dev, ck=ck, ie=ie, cap=cap, rsub=rsub, bco=bco, hot=hot,
-                   fp=fp):
+                   fp=fp, slg=slg):
             return mk._check_block_packed(
                 dev, ck._obs_mesh, ck._obs_grp, ck._rob_base, ck._obs_t,
                 ck._obs_aabb_rows,
@@ -89,7 +90,8 @@ def main() -> int:
                 num_obs_tiles=ck.prep.num_obs_tiles,
                 rob_tile=rt, obs_tile=ot, inner_exit=bool(ie),
                 stage_cap=cap, rest_sub=rsub, bcast_obs=bco,
-                hot_thresh=hot, fuse_planes=fp, interpret=interpret,
+                hot_thresh=hot, fuse_planes=fp, skip_live_gate=slg,
+                interpret=interpret,
             )
 
         dev = jax.device_put(confs)
@@ -101,6 +103,7 @@ def main() -> int:
         print(json.dumps({
             "rt": rt, "ot": ot, "inner_exit": bool(ie), "stage_cap": cap,
             "rest_sub": rsub, "bcast_obs": bco, "hot": hot, "fuse": fp,
+            "slg": slg,
             "checks_per_s": round(C / best, 0),
             "us_per_conf": round(best / C * 1e6, 3),
             "mismatches": mism,
