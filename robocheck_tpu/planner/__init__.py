@@ -7,6 +7,7 @@ import numpy as np
 
 from ..core.types import Mesh
 from .prm import PRMConfig, PRMPlanner, PRMResult
+from .rrt import RRTConfig, RRTConnectPlanner, RRTResult
 from .sdf import DistanceGrid, build_distance_grid, point_triangle_distance
 from .sqp import SQPConfig, SQPOptimizer, SQPResult
 from .trajopt import (
@@ -18,6 +19,9 @@ from .trajopt import (
 )
 
 __all__ = [
+    "RRTConfig",
+    "RRTConnectPlanner",
+    "RRTResult",
     "PRMConfig", "PRMPlanner", "PRMResult",
     "SQPConfig", "SQPOptimizer", "SQPResult",
     "TrajectoryOptimizer", "TrajOptConfig", "TrajOptResult",

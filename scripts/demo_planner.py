@@ -47,7 +47,7 @@ def wall_demo(interpret: bool) -> int:
 
 
 def alpha_demo(interpret: bool, plan: bool = False,
-               samples: int = 4096) -> int:
+               samples: int = 4096, rrt: bool = False) -> int:
     from robocheck_tpu.io import assets
     from robocheck_tpu.io.obj import load_obj
     from robocheck_tpu.io.parasol import read_query
@@ -69,6 +69,43 @@ def alpha_demo(interpret: bool, plan: bool = False,
     dvalid, _ = checker.check_valid(dense)
     print(f"straight-line sweep: {int(dvalid.sum())}/{len(dvalid)} "
           f"samples collision-free")
+    if rrt:
+        # Bidirectional batched RRT-Connect with Gaussian boundary
+        # sampling — the sampling family built for narrow passages, every
+        # extension validated in large batches on the TPU.
+        import time as _time
+
+        from robocheck_tpu.planner.rrt import RRTConfig, RRTConnectPlanner
+
+        planner = RRTConnectPlanner(
+            robot, obstacle,
+            RRTConfig(max_iters=samples // 256 or 1, batch=256,
+                      edge_resolution=16, surface_bias=0.6),
+            checker=checker,
+        )
+        t0 = _time.perf_counter()
+        res = planner.plan(query[0], query[1])
+        dt = _time.perf_counter() - t0
+        print(f"RRT-Connect: {res.num_nodes} nodes / {res.iters} batched "
+              f"iters, {res.num_confs_checked:,} checks in {dt:.1f}s "
+              f"({res.num_confs_checked / dt:,.0f} checks/s)")
+        if res.path is None:
+            print("no connection; trees did not meet (the alpha passage "
+                  "needs a coordinated rotate-while-translate)")
+            return 1
+        print(f"RRT path with {len(res.path)} waypoints")
+        ext = float((robot.aabb[3:] - robot.aabb[:3]).min())
+        for frac in (0.5, 0.1):
+            dense, _ = densify(res.path, step=frac * ext)
+            dv = checker.check_valid_resolved(dense)
+            print(f"  densified at {frac:.1f}x robot extent "
+                  f"({len(dense)} samples): {int(dv.sum())}/{len(dv)} "
+                  f"collision-free"
+                  + ("" if dv.all() else " -> NOT certified (tunneling)"))
+            if not dv.all():
+                return 1
+        print("RRT path certified at 0.1x robot extent")
+        return 0
     if not plan:
         return 0
 
@@ -131,6 +168,8 @@ def alpha_demo(interpret: bool, plan: bool = False,
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--alpha", action="store_true")
+    ap.add_argument("--rrt", action="store_true",
+                    help="alpha: batched RRT-Connect instead of PRM")
     ap.add_argument("--plan", action="store_true",
                     help="with --alpha: attempt the puzzle with PRM + SQP")
     ap.add_argument("--samples", type=int, default=4096)
@@ -142,7 +181,8 @@ def main() -> int:
     enable_compilation_cache()
     interpret = jax.default_backend() != "tpu"
     if args.alpha:
-        return alpha_demo(interpret, plan=args.plan, samples=args.samples)
+        return alpha_demo(interpret, plan=args.plan, samples=args.samples,
+                          rrt=args.rrt)
     return wall_demo(interpret)
 
 

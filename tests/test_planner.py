@@ -234,3 +234,53 @@ class TestPlannerCoplanarCertify:
         waypoint_valid, certified = opt._certify(traj)
         assert not certified
         assert not waypoint_valid.all()
+
+
+class TestRRTConnect:
+    def _gap_world(self):
+        # Two wall slabs with a narrow gap between them: the passage is
+        # ~1.2x the robot diameter — uniform PRM at small sample counts
+        # rarely threads it, boundary-biased RRT-Connect should.
+        from robocheck_tpu.core.types import Mesh
+        from robocheck_tpu.models.shapes import box, icosphere
+
+        robot = icosphere(1, radius=0.25, name="robot")
+        top = box(extent=(0.4, 3.0, 2.6), center=(0.0, 0.0, 1.65))
+        bot = box(extent=(0.4, 3.0, 2.6), center=(0.0, 0.0, -1.65))
+        wall = Mesh.merge([top, bot], name="gap-wall")
+        return robot, wall
+
+    def test_threads_narrow_gap(self):
+        from robocheck_tpu.planner.rrt import RRTConfig, RRTConnectPlanner
+        from robocheck_tpu.planner.trajopt import densify
+
+        robot, wall = self._gap_world()
+        planner = RRTConnectPlanner(
+            robot, wall,
+            RRTConfig(max_iters=30, batch=64, edge_resolution=8, seed=2),
+            interpret=True,
+        )
+        start = np.array([-2.5, 0, 0, 0, 0, 0], np.float32)
+        goal = np.array([2.5, 0, 0, 0, 0, 0], np.float32)
+        res = planner.plan(start, goal)
+        assert res.path is not None, (
+            f"no path after {res.iters} iters / {res.num_nodes} nodes"
+        )
+        np.testing.assert_allclose(res.path[0], start, atol=1e-6)
+        np.testing.assert_allclose(res.path[-1], goal, atol=1e-6)
+        # Certify the path at a fine discretization (no tunneling).
+        dense, _ = densify(res.path, step=0.1)
+        dv = planner.checker.check_valid_resolved(dense)
+        assert dv.all(), f"{int((~dv).sum())}/{len(dv)} densified collide"
+
+    def test_invalid_endpoint_reports_no_path(self):
+        from robocheck_tpu.planner.rrt import RRTConfig, RRTConnectPlanner
+
+        robot, wall = self._gap_world()
+        planner = RRTConnectPlanner(
+            robot, wall, RRTConfig(max_iters=2, batch=16), interpret=True,
+        )
+        inside = np.array([0.0, 0.0, 1.65, 0, 0, 0], np.float32)  # in slab
+        goal = np.array([2.5, 0, 0, 0, 0, 0], np.float32)
+        res = planner.plan(inside, goal)
+        assert res.path is None and res.num_nodes == 0
