@@ -110,6 +110,24 @@ def main():
         with open(cache, "w") as f:
             json.dump({"cpu_oracle_checks_per_s": baseline_cps}, f)
 
+    # Secondary metric: the sparse dataset (recorded on stderr so the
+    # headline stays one line).
+    easy_cps = None
+    easy_mismatches = None
+    try:
+        eds = read_conf_file(assets.dataset_path("easy100k"))
+        ev = checker.check_valid_resolved(eds.confs)
+        if eds.valid is not None:
+            easy_mismatches = int((ev != eds.valid).sum())
+        etimes = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            checker.check_valid_resolved(eds.confs)
+            etimes.append(time.perf_counter() - t0)
+        easy_cps = round(len(eds.confs) / min(etimes), 1)
+    except FileNotFoundError:
+        pass
+
     result = {
         "metric": f"collision_checks_per_s_{ds_name}",
         "value": round(checks_per_s, 1),
@@ -121,6 +139,8 @@ def main():
         "n_confs": n,
         "best_time_s": round(best, 4),
         "golden_mismatches": mismatches,
+        "easy100k_checks_per_s": easy_cps,
+        "easy100k_mismatches": easy_mismatches,
         "cpu_oracle_baseline_checks_per_s": round(baseline_cps, 1),
         "cpu_oracle_kind": oracle_kind,
         "backend": jax.default_backend(),

@@ -56,14 +56,18 @@ class ChunkedMegaKernelChecker:
     """Fused checking for mesh pairs beyond the single-kernel VMEM budget.
 
     API-compatible with :class:`MegaKernelChecker` (``check``,
-    ``check_valid``). ``check_valid`` compacts per chunk pair: each
-    sub-checker's cheap XLA broad phase (bit-identical to its kernel's
-    stage 1) selects only the configurations whose robot AABB overlaps THAT
-    chunk's obstacle box, so throughput scales with surviving work rather
-    than with n_rob_chunks * n_obs_chunks — Morton-tight chunk AABBs are
-    what make the per-chunk cull effective. Verdicts are exactly the
-    uncompacted ones: a configuration skipped for a chunk pair would have
-    exited at that kernel's in-kernel broad phase anyway.
+    ``check_valid``). Work scaling: each chunk pair's kernel runs its OWN
+    broad phase in-kernel, so configurations that miss a chunk's (tight,
+    Morton-ordered) AABB cost only the ~0.2 us/config all-miss floor there
+    — off-chunk work is culled on device, not re-evaluated.
+    ``check_valid(compact=True)`` additionally compacts host-side with the
+    bit-identical XLA broad phase before dispatch; measured on the tethered
+    deployment this LOSES (~2x at 8k-65k configurations: the in-kernel
+    broad phase is cheaper than the extra host sync + smaller overlapped
+    batches, see scripts/bench_chunked.py), so it defaults OFF and exists
+    for direct-attached deployments where a round trip is ~0.1 ms.
+    Verdicts are identical either way (a configuration skipped by
+    compaction would have exited at that kernel's broad phase).
 
     Pass ``mesh=`` (a `jax.sharding.Mesh`) to run every chunk pair through
     a batch-sharded :class:`parallel.sharding.ShardedChecker` — oversized
@@ -98,25 +102,65 @@ class ChunkedMegaKernelChecker:
         return len(self.checkers)
 
     def check_valid(self, confs: np.ndarray, chunk: int | None = None,
-                    compact: bool = True):
+                    compact: bool = False):
         n = np.asarray(confs).shape[0]
         valid = np.ones((n,), dtype=bool)
         coplanar = np.zeros((n,), dtype=bool)
-        for ck in self.checkers:
-            if compact:
-                hits = np.asarray(ck.broad_block(np.asarray(
-                    confs, dtype=np.float32)))
-                idx = np.nonzero(hits)[0]
+        if compact:
+            # All chunk pairs' broad phases batched: robot bounds once on
+            # device, per-box compares on host (one small fetch per robot
+            # chunk). See the class docstring for why this is opt-in.
+            hits = self._broad_multi(np.asarray(confs, dtype=np.float32))
+            for k, ck in enumerate(self.checkers):
+                idx = np.nonzero(hits[k])[0]
                 if not idx.size:
                     continue
                 v, c = ck.check_valid(confs[idx], chunk=chunk)
                 valid[idx] &= v
                 coplanar[idx] |= c
-            else:
-                v, c = ck.check_valid(confs, chunk=chunk)
-                valid &= v
-                coplanar |= c
+            return valid, coplanar
+        for ck in self.checkers:
+            v, c = ck.check_valid(confs, chunk=chunk)
+            valid &= v
+            coplanar |= c
         return valid, coplanar
+
+    def _broad_multi(self, confs: np.ndarray) -> np.ndarray:
+        """[num_chunk_pairs, N] bool: per chunk pair, the bit-identical XLA
+        broad phase — the per-config robot bounds are computed on device
+        once per distinct ROBOT chunk (usually once) and fetched small; the
+        per-obstacle-box interval compares run on the host (plain f32 <=,
+        bit-identical to the device comparison)."""
+        import jax.numpy as jnp
+
+        from .megakernel import _robot_bounds
+
+        out = np.empty((len(self.checkers), confs.shape[0]), dtype=bool)
+        # Group checkers sharing a robot chunk (constructor order is
+        # robot-major).
+        groups: dict[int, list[int]] = {}
+        rob_keys: list = []
+        for i, ck in enumerate(self.checkers):
+            key = id(ck.prep.rob_base)
+            if key not in groups:
+                groups[key] = []
+                rob_keys.append(key)
+            groups[key].append(i)
+        for key in rob_keys:
+            idxs = groups[key]
+            ck0 = self.checkers[idxs[0]]
+            rb = ck0.prep.rob_base
+            pts = rb[0:9].T.reshape(-1, 3, 3).reshape(-1, 3)
+            lo, hi = _robot_bounds(
+                jnp.asarray(confs), jnp.asarray(pts),
+                jnp.asarray(np.repeat(rb[9] > 0, 3)),
+            )
+            lo = np.asarray(lo)
+            hi = np.asarray(hi)
+            for i in idxs:
+                box = self.checkers[i].prep.obs_mesh_aabb[0]
+                out[i] = ((lo <= box[3:6]) & (box[0:3] <= hi)).all(axis=1)
+        return out
 
     def check_valid_resolved(self, confs: np.ndarray,
                              chunk: int | None = None) -> np.ndarray:

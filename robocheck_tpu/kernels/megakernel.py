@@ -1121,6 +1121,29 @@ def _unpermute(packed_sorted, dest):
 
 
 @functools.partial(jax.jit, static_argnames=())
+def _robot_bounds(confs, corner_pts, corner_mask):
+    """Per-config robot AABB (lo[B,3], hi[B,3]) — the expensive half of the
+    broad phase, computed once and compared against any number of obstacle
+    boxes on the host. Bit-identical FP order to `_broad_overlap` (whose
+    final comparisons are plain f32 <=, exactly reproducible in numpy).
+    The K-box variant was first written as one fused [K,B,3] jit; XLA's
+    fusion fell apart and a blocking call cost ~300 ms — computing bounds
+    on device and comparing on host is one small fetch instead."""
+    R = rotation_matrices(confs)  # [B,3,3]
+    t = confs[:, 0:3]
+    x, y, z = corner_pts[:, 0], corner_pts[:, 1], corner_pts[:, 2]
+    c0 = R[:, None, :, 0]
+    c1 = R[:, None, :, 1]
+    c2 = R[:, None, :, 2]
+    v = x[None, :, None] * c0 + y[None, :, None] * c1 + z[None, :, None] * c2
+    v = v + t[:, None, :]  # [B, C, 3]
+    big = jnp.float32(3.0e38)
+    lo = jnp.min(jnp.where(corner_mask[None, :, None], v, big), axis=1)
+    hi = jnp.max(jnp.where(corner_mask[None, :, None], v, -big), axis=1)
+    return lo, hi
+
+
+@functools.partial(jax.jit, static_argnames=())
 def _broad_overlap(confs, corner_pts, corner_mask, obs_lo, obs_hi):
     """Mesh-level broad phase over pre-gathered corners — bit-identical FP
     order to the kernel's stage 1/2 (transform as r·X sums, masked min/max,

@@ -77,10 +77,12 @@ def alpha_demo(interpret: bool, plan: bool = False,
 
         from robocheck_tpu.planner.rrt import RRTConfig, RRTConnectPlanner
 
+        ext0 = float((robot.aabb[3:] - robot.aabb[:3]).min())
         planner = RRTConnectPlanner(
             robot, obstacle,
             RRTConfig(max_iters=samples // 256 or 1, batch=256,
-                      edge_resolution=16, surface_bias=0.6),
+                      step=0.35 * ext0, edge_resolution=48,
+                      surface_bias=0.6),
             checker=checker,
         )
         t0 = _time.perf_counter()
