@@ -332,6 +332,7 @@ def _kernel(
     hot_thresh: float = 1024.0,
     fuse_planes: bool = False,
     skip_live_gate: bool = False,
+    pipe: bool = False,
 ):
     # ---- Stage 1 (vectorized across the block's configurations):
     # transform pre-gathered corners; planes; mini-AABBs; broad flags. ----
@@ -523,6 +524,7 @@ def _kernel(
                 obs_tile=obs_tile, inner_exit=inner_exit, stats=stats,
                 stage_cap=stage_cap, rest_sub=rest_sub, bcast_obs=bcast_obs,
                 fuse_planes=fuse_planes, skip_live_gate=skip_live_gate,
+                pipe=pipe,
             )
         else:
             broad = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
@@ -553,6 +555,7 @@ def _one_config(
     obs_tile: int = LANE, inner_exit: bool = True, stats: bool = True,
     stage_cap: int = 2, rest_sub: int = 0, bcast_obs: bool = False,
     fuse_planes: bool = False, skip_live_gate: bool = False,
+    pipe: bool = False,
 ):
     broad_hit = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
     # Runtime-false scalar for the stage_cap profiling probes: misc col 7 is
@@ -766,7 +769,78 @@ def _one_config(
                 (hit, cop, npairs, nfull, ngate + 1, nrest),
             )
 
+        def pipe_mask(j):
+            ooff = pl.multiple_of(j * obs_tile, obs_tile)
+            oblock = obs_t_ref[pl.ds(ooff, obs_tile), :]
+            mask = tile_mask
+            for k in range(3):
+                mask &= r_lo[k] <= oblock[:, _O_HI + k : _O_HI + k + 1]
+                mask &= oblock[:, _O_LO + k : _O_LO + k + 1] <= r_hi[k]
+            return oblock, mask
+
+        def pipe_stage_a(oblock_p, mask_p, c):
+            # Planes + gated interval for the PENDING tile (same flow and FP
+            # order as tile()'s default staged path).
+            def ocol(ci):
+                return oblock_p[:, ci : ci + 1]
+
+            obs_fields = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
+                          "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
+            for cx in range(3):
+                obs_fields[f"c{cx}x"] = ocol(_O_C + 3 * cx + 0)
+                obs_fields[f"c{cx}y"] = ocol(_O_C + 3 * cx + 1)
+                obs_fields[f"c{cx}z"] = ocol(_O_C + 3 * cx + 2)
+            dist_o, dist_r, live = _tile_planes(rfield, obs_fields)
+            live = live & mask_p
+            return jax.lax.cond(
+                jnp.any(live),
+                lambda c5: _tile_moller_rest(rfield, obs_fields, dist_o,
+                                             dist_r, live, c5[0], c5[1]),
+                lambda c5: c5, c,
+            )
+
         carry2 = carry
+        if pipe and not stats:
+            # Software-pipelined sweep: iteration k issues tile k's load +
+            # 12-op mask FIRST, then branches on tile k-1's any(mask) — the
+            # vector->scalar transfer latency of each decision (measured
+            # ~0.25-0.3 us, the dominant per-visit cost) overlaps the next
+            # tile's vector work instead of stalling between mask and
+            # planes. The pending tile drains after the loop (an in-loop
+            # drain iteration would waste a mask compute per word).
+            # Masks are carried as f32 0/1 (Mosaic cannot yield i1 vectors
+            # through a while loop) and compared back on consumption.
+            zero_mask = jnp.zeros((obs_tile, rob_tile), jnp.float32)
+            zero_oblock = jnp.zeros((obs_tile, _O_COLS), jnp.float32)
+            for w in range(n_words):
+
+                def obs_cond(state):
+                    word, pend, anyf, mask_p, oblock_p, c = state
+                    return (word != 0) & jnp.logical_not(c[0])
+
+                def obs_body(state, w=w):
+                    word, pend, anyf, mask_p, oblock_p, c = state
+                    j = w * _GATE_WORD_BITS + _ctz16(word)
+                    oblock, mask = pipe_mask(j)
+                    c = jax.lax.cond(
+                        pend & anyf,
+                        lambda cc: pipe_stage_a(oblock_p, mask_p > 0.0, cc),
+                        lambda cc: cc, c,
+                    )
+                    return (word & (word - 1), jnp.bool_(True),
+                            jnp.any(mask), mask.astype(jnp.float32),
+                            oblock, c)
+
+                state = (words[w], jnp.bool_(False), jnp.bool_(False),
+                         zero_mask, zero_oblock, carry2)
+                state = jax.lax.while_loop(obs_cond, obs_body, state)
+                _, pend, anyf, mask_p, oblock_p, carry2 = state
+                carry2 = jax.lax.cond(
+                    pend & anyf & jnp.logical_not(carry2[0]),
+                    lambda cc: pipe_stage_a(oblock_p, mask_p > 0.0, cc),
+                    lambda cc: cc, carry2,
+                )
+            return carry2
         for w in range(n_words):
 
             def obs_cond(state):
@@ -959,13 +1033,13 @@ class MegaKernelPrep:
                                              "sweep", "stats", "stage_cap",
                                              "rest_sub", "bcast_obs",
                                              "hot_thresh", "fuse_planes",
-                                             "skip_live_gate"))
+                                             "skip_live_gate", "pipe"))
 def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
                obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
                rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                interpret=False, sweep=True, stats=True, stage_cap=2,
                rest_sub=0, bcast_obs=False, hot_thresh=1024.0,
-               fuse_planes=False, skip_live_gate=False):
+               fuse_planes=False, skip_live_gate=False, pipe=False):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
     tr = rob_base.shape[1]
@@ -975,7 +1049,7 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         sweep=sweep, stats=stats, stage_cap=stage_cap, rest_sub=rest_sub,
         bcast_obs=bcast_obs, hot_thresh=hot_thresh, fuse_planes=fuse_planes,
-        skip_live_gate=skip_live_gate,
+        skip_live_gate=skip_live_gate, pipe=pipe,
     )
     return pl.pallas_call(
         kernel,
@@ -1061,13 +1135,14 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
                                              "sweep", "stage_cap",
                                              "rest_sub", "bcast_obs",
                                              "hot_thresh", "fuse_planes",
-                                             "skip_live_gate"))
+                                             "skip_live_gate", "pipe"))
 def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
                         obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
                         rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                         interpret=False, sweep=True, stage_cap=2,
                         rest_sub=0, bcast_obs=False, hot_thresh=1024.0,
-                        fuse_planes=False, skip_live_gate=False):
+                        fuse_planes=False, skip_live_gate=False,
+                        pipe=False):
     # stats=False: verdict bits only — drops the per-tile pair-count
     # reduction and one cond level per gated tile (a measured ~2x sweep
     # win); the impl path keeps full counters for the stats surface.
@@ -1082,7 +1157,7 @@ def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         interpret=interpret, sweep=sweep, stats=False, stage_cap=stage_cap,
         rest_sub=rest_sub, bcast_obs=bcast_obs, hot_thresh=hot_thresh,
-        fuse_planes=fuse_planes, skip_live_gate=skip_live_gate,
+        fuse_planes=fuse_planes, skip_live_gate=skip_live_gate, pipe=pipe,
     )
     return (out[:, 0] | (out[:, 1] << 1)).astype(jnp.uint8)
 

@@ -77,12 +77,13 @@ def main() -> int:
         hot = float(parts[6]) if len(parts) > 6 else 1024.0
         fp = bool(parts[7]) if len(parts) > 7 else False
         slg = bool(parts[8]) if len(parts) > 8 else False
+        pp = bool(parts[9]) if len(parts) > 9 else False
         t0 = time.perf_counter()
         ck = mk.MegaKernelChecker(robot, obstacle, interpret=interpret,
                                   rob_tile=rt, obs_tile=ot)
 
         def packed(dev, ck=ck, ie=ie, cap=cap, rsub=rsub, bco=bco, hot=hot,
-                   fp=fp, slg=slg):
+                   fp=fp, slg=slg, pp=pp):
             return mk._check_block_packed(
                 dev, ck._obs_mesh, ck._obs_grp, ck._rob_base, ck._obs_t,
                 ck._obs_aabb_rows,
@@ -91,7 +92,7 @@ def main() -> int:
                 rob_tile=rt, obs_tile=ot, inner_exit=bool(ie),
                 stage_cap=cap, rest_sub=rsub, bcast_obs=bco,
                 hot_thresh=hot, fuse_planes=fp, skip_live_gate=slg,
-                interpret=interpret,
+                pipe=pp, interpret=interpret,
             )
 
         dev = jax.device_put(confs)
@@ -103,7 +104,7 @@ def main() -> int:
         print(json.dumps({
             "rt": rt, "ot": ot, "inner_exit": bool(ie), "stage_cap": cap,
             "rest_sub": rsub, "bcast_obs": bco, "hot": hot, "fuse": fp,
-            "slg": slg,
+            "slg": slg, "pipe": pp,
             "checks_per_s": round(C / best, 0),
             "us_per_conf": round(best / C * 1e6, 3),
             "mismatches": mism,
