@@ -91,10 +91,11 @@ class ChunkedMegaKernelChecker:
             def build(r, o):
                 return MegaKernelChecker(r, o, morton=morton,
                                          interpret=interpret)
+        rob_chunks = split_mesh(robot, max_rob_tris)
+        obs_chunks = split_mesh(obstacle, max_obs_tris)
+        self._n_obs_chunks = len(obs_chunks)
         self.checkers = [
-            build(r, o)
-            for r in split_mesh(robot, max_rob_tris)
-            for o in split_mesh(obstacle, max_obs_tris)
+            build(r, o) for r in rob_chunks for o in obs_chunks
         ]
 
     @property
@@ -136,17 +137,14 @@ class ChunkedMegaKernelChecker:
         from .megakernel import _robot_bounds
 
         out = np.empty((len(self.checkers), confs.shape[0]), dtype=bool)
-        # Group checkers sharing a robot chunk (constructor order is
-        # robot-major).
+        # Group checkers sharing a robot chunk. Constructor order is
+        # robot-major, so checker i's robot chunk is i // n_obs_chunks
+        # (grouping by id(prep.rob_base) never merged: every checker builds
+        # its own prep and so its own rob_base array).
         groups: dict[int, list[int]] = {}
-        rob_keys: list = []
-        for i, ck in enumerate(self.checkers):
-            key = id(ck.prep.rob_base)
-            if key not in groups:
-                groups[key] = []
-                rob_keys.append(key)
-            groups[key].append(i)
-        for key in rob_keys:
+        for i in range(len(self.checkers)):
+            groups.setdefault(i // self._n_obs_chunks, []).append(i)
+        for key in sorted(groups):
             idxs = groups[key]
             ck0 = self.checkers[idxs[0]]
             rb = ck0.prep.rob_base

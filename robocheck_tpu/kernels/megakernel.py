@@ -236,6 +236,28 @@ def _tile_moller_rest(rob, obs, dist_o, dist_r, live, hit, cop,
     okz = (jnp.abs(Dz) <= B * (jnp.abs(axz) + jnp.abs(bxz))) | bs_x | bs_y
     maybe_cop = okx & oky & okz & live
 
+    # Second branch of the ratio test's truth table: when EVERY valid
+    # component ratio |nr/no| is itself below TOL (~6 orders of mesh-scale
+    # mismatch between the two triangles), `_isclose`'s both-small case
+    # declares the ratios equal and the full test flags coplanar even
+    # though the planes are nowhere near parallel — the |D| bound above
+    # does not cover that. Detect it directly: each of the four components
+    # either sits in the shared zero band or is valid with
+    # |nr| <= 2*TOL*|no| (factor-2 headroom over the f32 divide noise in
+    # the exact |nr/no| < TOL threshold); mismatched zero patterns make
+    # the component non-coplanar and correctly fail both branches.
+    T2 = jnp.float32(2.0 * TOL)
+
+    def _sub_ratio(a, b):
+        za = _iszero(a)
+        zb = _iszero(b)
+        return (za & zb) | (~za & ~zb & (jnp.abs(a) <= T2 * jnp.abs(b)))
+
+    maybe_cop = maybe_cop | (
+        _sub_ratio(nrx, nox) & _sub_ratio(nry, noy) & _sub_ratio(nrz, noz)
+        & _sub_ratio(dr, do) & live
+    )
+
     def with_cop(c):
         h, cp = c
         # Component-ratio test against the first usable component
@@ -327,12 +349,7 @@ def _kernel(
     sweep: bool = True,
     stats: bool = True,
     stage_cap: int = 2,
-    rest_sub: int = 0,
-    bcast_obs: bool = False,
     hot_thresh: float = 1024.0,
-    fuse_planes: bool = False,
-    skip_live_gate: bool = False,
-    pipe: bool = False,
 ):
     # ---- Stage 1 (vectorized across the block's configurations):
     # transform pre-gathered corners; planes; mini-AABBs; broad flags. ----
@@ -522,9 +539,7 @@ def _kernel(
                 misc, num_rob_tiles=num_rob_tiles,
                 num_obs_tiles=num_obs_tiles, rob_tile=rob_tile,
                 obs_tile=obs_tile, inner_exit=inner_exit, stats=stats,
-                stage_cap=stage_cap, rest_sub=rest_sub, bcast_obs=bcast_obs,
-                fuse_planes=fuse_planes, skip_live_gate=skip_live_gate,
-                pipe=pipe,
+                stage_cap=stage_cap,
             )
         else:
             broad = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
@@ -553,9 +568,7 @@ def _one_config(
     cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d, misc,
     *, num_rob_tiles: int, num_obs_tiles: int, rob_tile: int = LANE,
     obs_tile: int = LANE, inner_exit: bool = True, stats: bool = True,
-    stage_cap: int = 2, rest_sub: int = 0, bcast_obs: bool = False,
-    fuse_planes: bool = False, skip_live_gate: bool = False,
-    pipe: bool = False,
+    stage_cap: int = 2,
 ):
     broad_hit = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
     # Runtime-false scalar for the stage_cap profiling probes: misc col 7 is
@@ -647,30 +660,14 @@ def _one_config(
                 # Throughput flow (the packed path): same gating as the
                 # stats path (mask -> planes -> interval; unconditional
                 # plane evaluation measured slower than the any(mask) sync
-                # it saves) minus the pair-count reduction.
+                # it saves — DESIGN.md's falsified `fuse_planes` run) minus
+                # the pair-count reduction.
                 hit, cop = carry3
 
                 if stage_cap == 0:
                     # Profiling probe: mask + any() sync only (& rt_false
                     # keeps the reduction live without ever setting hit).
                     return (hit | (jnp.any(mask) & rt_false), cop)
-
-                if fuse_planes:
-                    # One gate level per visit: mask + planes evaluated
-                    # unconditionally (37 issue-bound ops), a single
-                    # any(live) sync, and straight to the interval stage.
-                    obs_fields = mk_obs_fields()
-                    dist_o, dist_r, live = _tile_planes(rfield, obs_fields)
-                    live = live & mask
-
-                    def restf(c5):
-                        h, cp = c5
-                        return _tile_moller_rest(
-                            rfield, obs_fields, dist_o, dist_r, live, h, cp,
-                        )
-
-                    return jax.lax.cond(jnp.any(live), restf, lambda c: c,
-                                        (hit, cop))
 
                 def full2(c4):
                     obs_fields = mk_obs_fields()
@@ -682,61 +679,14 @@ def _one_config(
                         h, cp = c4
                         return (h | (jnp.any(live) & rt_false), cp)
                     div = _probe_div if stage_cap == 3 else _true_div
-
-                    def bcast(fields):
-                        # Pre-broadcast [O,1] obstacle columns across the
-                        # robot lane axis with an exact rank-1 MXU product
-                        # (x @ ones = x in every lane): the VPU's
-                        # lane-broadcasts inside the ~200-op interval stage
-                        # were its hidden cost; one matmul per field makes
-                        # every downstream op a plain elementwise vreg op.
-                        ones = jnp.ones((1, rob_tile), jnp.float32)
-                        return {k: jax.lax.dot(v, ones)
-                                for k, v in fields.items()}
-
-                    def rest_on(obs_f, d_o, d_r, live_s, c5):
-                        hit, cop = c5
-                        if bcast_obs:
-                            obs_f = bcast(obs_f)
-                        return _tile_moller_rest(
-                            rfield, obs_f, d_o, d_r, live_s, hit, cop,
-                            div=div,
-                        )
-
-                    if not rest_sub:
-                        if skip_live_gate:
-                            # Mask-passing tiles run planes+interval straight
-                            # through: one sync per visit instead of two.
-                            return rest_on(obs_fields, dist_o, dist_r, live,
-                                           c4)
-                        return jax.lax.cond(
-                            jnp.any(live),
-                            lambda c5: rest_on(obs_fields, dist_o, dist_r,
-                                               live, c5),
-                            lambda c5: c5, c4,
-                        )
-
-                    # Sub-block gating: the ~200-op interval stage is
-                    # compute-bound in tile AREA (measured: the mask/plane
-                    # stages and all scalar machinery are nearly free), and
-                    # live pairs cluster in few sublane groups thanks to
-                    # Morton ordering — so evaluate it only on [rest_sub,
-                    # rob_tile] row blocks that contain a live pair.
-                    c5 = c4
-                    for sb in range(obs_tile // rest_sub):
-                        sl = slice(sb * rest_sub, (sb + 1) * rest_sub)
-                        live_s = live[sl, :]
-                        obs_f = {k: v[sl, :] for k, v in obs_fields.items()}
-                        d_o = [d[sl, :] for d in dist_o]
-                        d_r = [d[sl, :] for d in dist_r]
-                        c5 = jax.lax.cond(
-                            jnp.any(live_s),
-                            lambda c6, obs_f=obs_f, d_o=d_o, d_r=d_r,
-                            live_s=live_s: rest_on(obs_f, d_o, d_r, live_s,
-                                                   c6),
-                            lambda c6: c6, c5,
-                        )
-                    return c5
+                    return jax.lax.cond(
+                        jnp.any(live),
+                        lambda c5: _tile_moller_rest(
+                            rfield, obs_fields, dist_o, dist_r, live,
+                            c5[0], c5[1], div=div,
+                        ),
+                        lambda c5: c5, c4,
+                    )
 
                 return jax.lax.cond(jnp.any(mask), full2, lambda c4: c4,
                                     (hit, cop))
@@ -769,78 +719,7 @@ def _one_config(
                 (hit, cop, npairs, nfull, ngate + 1, nrest),
             )
 
-        def pipe_mask(j):
-            ooff = pl.multiple_of(j * obs_tile, obs_tile)
-            oblock = obs_t_ref[pl.ds(ooff, obs_tile), :]
-            mask = tile_mask
-            for k in range(3):
-                mask &= r_lo[k] <= oblock[:, _O_HI + k : _O_HI + k + 1]
-                mask &= oblock[:, _O_LO + k : _O_LO + k + 1] <= r_hi[k]
-            return oblock, mask
-
-        def pipe_stage_a(oblock_p, mask_p, c):
-            # Planes + gated interval for the PENDING tile (same flow and FP
-            # order as tile()'s default staged path).
-            def ocol(ci):
-                return oblock_p[:, ci : ci + 1]
-
-            obs_fields = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
-                          "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
-            for cx in range(3):
-                obs_fields[f"c{cx}x"] = ocol(_O_C + 3 * cx + 0)
-                obs_fields[f"c{cx}y"] = ocol(_O_C + 3 * cx + 1)
-                obs_fields[f"c{cx}z"] = ocol(_O_C + 3 * cx + 2)
-            dist_o, dist_r, live = _tile_planes(rfield, obs_fields)
-            live = live & mask_p
-            return jax.lax.cond(
-                jnp.any(live),
-                lambda c5: _tile_moller_rest(rfield, obs_fields, dist_o,
-                                             dist_r, live, c5[0], c5[1]),
-                lambda c5: c5, c,
-            )
-
         carry2 = carry
-        if pipe and not stats:
-            # Software-pipelined sweep: iteration k issues tile k's load +
-            # 12-op mask FIRST, then branches on tile k-1's any(mask) — the
-            # vector->scalar transfer latency of each decision (measured
-            # ~0.25-0.3 us, the dominant per-visit cost) overlaps the next
-            # tile's vector work instead of stalling between mask and
-            # planes. The pending tile drains after the loop (an in-loop
-            # drain iteration would waste a mask compute per word).
-            # Masks are carried as f32 0/1 (Mosaic cannot yield i1 vectors
-            # through a while loop) and compared back on consumption.
-            zero_mask = jnp.zeros((obs_tile, rob_tile), jnp.float32)
-            zero_oblock = jnp.zeros((obs_tile, _O_COLS), jnp.float32)
-            for w in range(n_words):
-
-                def obs_cond(state):
-                    word, pend, anyf, mask_p, oblock_p, c = state
-                    return (word != 0) & jnp.logical_not(c[0])
-
-                def obs_body(state, w=w):
-                    word, pend, anyf, mask_p, oblock_p, c = state
-                    j = w * _GATE_WORD_BITS + _ctz16(word)
-                    oblock, mask = pipe_mask(j)
-                    c = jax.lax.cond(
-                        pend & anyf,
-                        lambda cc: pipe_stage_a(oblock_p, mask_p > 0.0, cc),
-                        lambda cc: cc, c,
-                    )
-                    return (word & (word - 1), jnp.bool_(True),
-                            jnp.any(mask), mask.astype(jnp.float32),
-                            oblock, c)
-
-                state = (words[w], jnp.bool_(False), jnp.bool_(False),
-                         zero_mask, zero_oblock, carry2)
-                state = jax.lax.while_loop(obs_cond, obs_body, state)
-                _, pend, anyf, mask_p, oblock_p, carry2 = state
-                carry2 = jax.lax.cond(
-                    pend & anyf & jnp.logical_not(carry2[0]),
-                    lambda cc: pipe_stage_a(oblock_p, mask_p > 0.0, cc),
-                    lambda cc: cc, carry2,
-                )
-            return carry2
         for w in range(n_words):
 
             def obs_cond(state):
@@ -1031,15 +910,12 @@ class MegaKernelPrep:
                                              "rob_tile", "obs_tile",
                                              "inner_exit", "interpret",
                                              "sweep", "stats", "stage_cap",
-                                             "rest_sub", "bcast_obs",
-                                             "hot_thresh", "fuse_planes",
-                                             "skip_live_gate", "pipe"))
+                                             "hot_thresh"))
 def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
                obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
                rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                interpret=False, sweep=True, stats=True, stage_cap=2,
-               rest_sub=0, bcast_obs=False, hot_thresh=1024.0,
-               fuse_planes=False, skip_live_gate=False, pipe=False):
+               hot_thresh=1024.0):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
     tr = rob_base.shape[1]
@@ -1047,9 +923,7 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
     kernel = functools.partial(
         _kernel, num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
-        sweep=sweep, stats=stats, stage_cap=stage_cap, rest_sub=rest_sub,
-        bcast_obs=bcast_obs, hot_thresh=hot_thresh, fuse_planes=fuse_planes,
-        skip_live_gate=skip_live_gate, pipe=pipe,
+        sweep=sweep, stats=stats, stage_cap=stage_cap, hot_thresh=hot_thresh,
     )
     return pl.pallas_call(
         kernel,
@@ -1133,16 +1007,12 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
                                              "rob_tile", "obs_tile",
                                              "inner_exit", "interpret",
                                              "sweep", "stage_cap",
-                                             "rest_sub", "bcast_obs",
-                                             "hot_thresh", "fuse_planes",
-                                             "skip_live_gate", "pipe"))
+                                             "hot_thresh"))
 def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
                         obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
                         rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                         interpret=False, sweep=True, stage_cap=2,
-                        rest_sub=0, bcast_obs=False, hot_thresh=1024.0,
-                        fuse_planes=False, skip_live_gate=False,
-                        pipe=False):
+                        hot_thresh=1024.0):
     # stats=False: verdict bits only — drops the per-tile pair-count
     # reduction and one cond level per gated tile (a measured ~2x sweep
     # win); the impl path keeps full counters for the stats surface.
@@ -1156,8 +1026,7 @@ def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         interpret=interpret, sweep=sweep, stats=False, stage_cap=stage_cap,
-        rest_sub=rest_sub, bcast_obs=bcast_obs, hot_thresh=hot_thresh,
-        fuse_planes=fuse_planes, skip_live_gate=skip_live_gate, pipe=pipe,
+        hot_thresh=hot_thresh,
     )
     return (out[:, 0] | (out[:, 1] << 1)).astype(jnp.uint8)
 
@@ -1317,10 +1186,11 @@ class MegaKernelChecker:
         re-upload. Same verdicts as ``check``
         (tests/test_megakernel.py::TestCheckValid asserts it).
 
-        ``presort`` (default on for batches larger than one chunk) first
-        runs the cheap XLA broad phase — bit-identical FP order to the
-        kernel's stage 1 — over the whole batch and orders broad-phase HITS
-        first. Chunks past the hits are never dispatched (a broad miss is
+        ``presort`` (default OFF — on this tethered deployment its one
+        scalar sync costs more than the dispatches it saves; opt in on
+        direct-attached deployments) first runs the cheap XLA broad phase —
+        bit-identical FP order to the kernel's stage 1 — over the whole
+        batch and orders broad-phase HITS first. Chunks past the hits are never dispatched (a broad miss is
         `valid=True, coplanar=False` by construction), and hit-dense chunks
         skip the per-program gate-precompute waste that randomly scattered
         hits cause. Verdicts are identical either way; this is the

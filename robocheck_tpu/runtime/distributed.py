@@ -30,15 +30,26 @@ def initialize_from_env() -> None:
     pid = os.environ.get("PROCESS_ID")
     if not (coord and nproc and pid):
         return
-    from jax._src import distributed as _dist
+    try:
+        # Probe for prior initialization via the internal client handle;
+        # jax._src may move across releases, so failure of the probe only
+        # means we fall through to initialize() and tolerate its
+        # already-initialized error below.
+        from jax._src import distributed as _dist
 
-    if _dist.global_state.client is not None:
-        return  # already initialized
-    jax.distributed.initialize(
-        coordinator_address=coord,
-        num_processes=int(nproc),
-        process_id=int(pid),
-    )
+        if _dist.global_state.client is not None:
+            return  # already initialized
+    except (ImportError, AttributeError):
+        pass
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc),
+            process_id=int(pid),
+        )
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 def shard_bounds(total: int, process_index: int | None = None,

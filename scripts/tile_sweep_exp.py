@@ -72,27 +72,19 @@ def main() -> int:
         parts = [int(x) for x in spec.split(",")]
         rt, ot, ie = parts[:3]
         cap = parts[3] if len(parts) > 3 else 2
-        rsub = parts[4] if len(parts) > 4 else 0
-        bco = bool(parts[5]) if len(parts) > 5 else False
-        hot = float(parts[6]) if len(parts) > 6 else 1024.0
-        fp = bool(parts[7]) if len(parts) > 7 else False
-        slg = bool(parts[8]) if len(parts) > 8 else False
-        pp = bool(parts[9]) if len(parts) > 9 else False
+        hot = float(parts[4]) if len(parts) > 4 else 1024.0
         t0 = time.perf_counter()
         ck = mk.MegaKernelChecker(robot, obstacle, interpret=interpret,
                                   rob_tile=rt, obs_tile=ot)
 
-        def packed(dev, ck=ck, ie=ie, cap=cap, rsub=rsub, bco=bco, hot=hot,
-                   fp=fp, slg=slg, pp=pp):
+        def packed(dev, ck=ck, ie=ie, cap=cap, hot=hot):
             return mk._check_block_packed(
                 dev, ck._obs_mesh, ck._obs_grp, ck._rob_base, ck._obs_t,
                 ck._obs_aabb_rows,
                 num_rob_tiles=ck.prep.num_rob_tiles,
                 num_obs_tiles=ck.prep.num_obs_tiles,
                 rob_tile=rt, obs_tile=ot, inner_exit=bool(ie),
-                stage_cap=cap, rest_sub=rsub, bcast_obs=bco,
-                hot_thresh=hot, fuse_planes=fp, skip_live_gate=slg,
-                pipe=pp, interpret=interpret,
+                stage_cap=cap, hot_thresh=hot, interpret=interpret,
             )
 
         dev = jax.device_put(confs)
@@ -103,8 +95,7 @@ def main() -> int:
         best = bench_async(lambda: packed(dev))
         print(json.dumps({
             "rt": rt, "ot": ot, "inner_exit": bool(ie), "stage_cap": cap,
-            "rest_sub": rsub, "bcast_obs": bco, "hot": hot, "fuse": fp,
-            "slg": slg, "pipe": pp,
+            "hot": hot,
             "checks_per_s": round(C / best, 0),
             "us_per_conf": round(best / C * 1e6, 3),
             "mismatches": mism,

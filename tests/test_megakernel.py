@@ -84,6 +84,62 @@ def test_kernel_tetrahedra_fixture():
     assert broad[0] and not broad[1]
 
 
+def test_mismatched_scale_coplanar_precheck():
+    # ADVICE r3 (medium): when every plane-coefficient ratio |nr/no| is
+    # itself below TOL (~4 orders of mesh-scale mismatch), the full
+    # component-ratio test declares pairs coplanar via _isclose's
+    # both-small branch, but the parallel-normal |D| precheck never fires —
+    # the kernel then skipped the coplanar flag and reported a raw hit,
+    # diverging from ops.narrow. The precheck's sub-TOL-ratio branch now
+    # covers it; this is the differential fixture: unit robot vs a 1e4x
+    # obstacle (plane coeffs O(1) vs O(1e8..1e12)). The robot is a box
+    # CENTERED at its own origin so that any pose whose translation lies on
+    # an obstacle face plane straddles that plane for every rotation
+    # (corners come in +/- pairs).
+    from robocheck_tpu.models.shapes import box
+
+    robot = box(extent=(2.0, 2.0, 2.0))
+    obstacle = tetrahedron(scale=1.0e4)
+    mk = MegaKernelChecker(robot, obstacle, interpret=True)
+    world = CollisionWorld(
+        robot, obstacle,
+        PipelineConfig(batch_block=8, narrow_chunk=8, max_pairs=4096,
+                       resolve_coplanar=False),
+    )
+    rng = np.random.default_rng(3)
+    confs = np.zeros((8, 6), dtype=np.float32)
+    # Rows 0-4: ON the big tetra's slanted face x - 2y - z + 4e4 = 0 (and
+    # just off it), where every component ratio is sub-TOL -> ratio-coplanar
+    # pairs. Rows 5-6: on the x=0 face, whose normal has zero y/z components
+    # while the robot's are generic -> zero-pattern mismatch, NOT coplanar.
+    # Row 7: far away.
+    confs[:, 0:3] = np.array(
+        [
+            [6.0e3, 1.8e4, 1.0e4],
+            [6.0e3 + 0.5, 1.8e4, 1.0e4],
+            [2.0e4 - 10.0, 1.9e4, 1.99e4],
+            [0.0, 1.99e4, 5.0],
+            [6.0e3, 1.8e4, 1.0e4 - 2.0],
+            [0.0, 5.0e3, 5.0e3],
+            [1.0, 5.0e3, 5.0e3],
+            [9.0e5, 9.0e5, 9.0e5],
+        ],
+        dtype=np.float32,
+    )
+    confs[:, 3:6] = rng.uniform(-np.pi, np.pi, (8, 3)).astype(np.float32)
+    valid_k, cop_k, _, _ = mk.check(confs)
+    valid_x, res = world.check(confs, return_result=True)
+    np.testing.assert_array_equal(valid_k, valid_x)
+    np.testing.assert_array_equal(cop_k, res.coplanar)
+    # The fixture must actually exercise the sub-TOL branch.
+    assert cop_k.any()
+    # End-to-end resolved surface agrees with the float64 oracle.
+    resolved = mk.check_valid_resolved(confs)
+    np.testing.assert_array_equal(
+        resolved, cpu_oracle.check_configs(robot, obstacle, confs)
+    )
+
+
 def test_morton_off_same_verdicts(sphere_world, sphere_confs):
     robot, obstacle = sphere_world
     a = MegaKernelChecker(robot, obstacle, morton=True, interpret=True)
