@@ -110,6 +110,24 @@ def main():
         with open(cache, "w") as f:
             json.dump({"cpu_oracle_checks_per_s": baseline_cps}, f)
 
+    # Latency leg (BASELINE.json's metric names p50 batch latency alongside
+    # throughput): round-trip wall time of ONE planner-step-shaped batch
+    # (2048 configs, host numpy in -> verdicts out, including H2D/D2H and
+    # any coplanar resolution). This is what an SQP/RRT iteration actually
+    # waits on; on a tethered deployment it is dominated by the link round
+    # trip, which amortized streaming throughput hides.
+    lat_n = 2048
+    lat_confs = confs[:lat_n]
+    checker.check_valid_resolved(lat_confs)  # warm the shape
+    lats = []
+    for _ in range(21):
+        t0 = time.perf_counter()
+        checker.check_valid_resolved(lat_confs)
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    p50_ms = lats[len(lats) // 2] * 1e3
+    p99_ms = lats[-1] * 1e3  # max of 21 ~ p95+; honest upper tail
+
     # Secondary metric: the sparse dataset (recorded on stderr so the
     # headline stays one line).
     easy_cps = None
@@ -133,12 +151,15 @@ def main():
         "value": round(checks_per_s, 1),
         "unit": "checks/s/chip",
         "vs_baseline": round(checks_per_s / baseline_cps, 2),
+        "p50_batch_latency_ms": round(p50_ms, 2),
     }
     extra = {
         "dataset": ds_name,
         "n_confs": n,
         "best_time_s": round(best, 4),
         "golden_mismatches": mismatches,
+        "latency_batch": lat_n,
+        "p99_batch_latency_ms": round(p99_ms, 2),
         "easy100k_checks_per_s": easy_cps,
         "easy100k_mismatches": easy_mismatches,
         "cpu_oracle_baseline_checks_per_s": round(baseline_cps, 1),

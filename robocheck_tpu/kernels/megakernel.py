@@ -148,19 +148,19 @@ def _tile_planes(rob, obs):
     return dist_o, dist_r, live
 
 
-def _tile_moller_rest(rob, obs, dist_o, dist_r, live, hit, cop,
-                      div=_true_div):
-    """Expensive remainder of the Moller test: interval overlap plus the
-    (rare) coplanarity resolution, on one pair tile. Only pairs where
-    `_tile_planes` reported live matter; ``live`` must already include the
-    mini-AABB mask.
+def _moller_interval_parts(rob, obs, dist_o, dist_r, live, div=_true_div):
+    """Vector core of the Moller interval stage on one pair block: interval
+    separation plus the conservative coplanarity precheck, NO reductions and
+    NO control flow — per-pair boolean arrays only, so both the per-tile
+    cond flow (`_tile_moller_rest`) and the slab sweep's accumulate-only
+    flow share bit-identical FP semantics.
 
-    Returns scalar (hit', cop') carries: hit' = hit OR some live pair
-    intersects; cop' = cop OR some live pair is flagged coplanar. Combined
-    semantics are identical to `ops.narrow.pair_intersects` (same FP
-    operation order); the ~45-op/8-divide component-ratio block runs only
-    when a *conservative necessary condition* for coplanarity fires on some
-    live pair (see below), which on real data is ~never.
+    Returns (isect_raw, maybe_cop): isect_raw = live pairs whose projected
+    intervals overlap (a hit unless the pair is ratio-coplanar); maybe_cop =
+    live pairs where the conservative necessary condition for ratio
+    coplanarity fires (the exact component-ratio test is only needed — and
+    only run by callers — when some maybe_cop pair exists, which on real
+    data is ~never).
     """
     nrx, nry, nrz, dr = rob["nx"], rob["ny"], rob["nz"], rob["d"]
     nox, noy, noz, do = obs["nx"], obs["ny"], obs["nz"], obs["d"]
@@ -257,6 +257,26 @@ def _tile_moller_rest(rob, obs, dist_o, dist_r, live, hit, cop,
         _sub_ratio(nrx, nox) & _sub_ratio(nry, noy) & _sub_ratio(nrz, noz)
         & _sub_ratio(dr, do) & live
     )
+    return isect_raw, maybe_cop
+
+
+def _tile_moller_rest(rob, obs, dist_o, dist_r, live, hit, cop,
+                      div=_true_div):
+    """Expensive remainder of the Moller test: interval overlap plus the
+    (rare) coplanarity resolution, on one pair tile. Only pairs where
+    `_tile_planes` reported live matter; ``live`` must already include the
+    mini-AABB mask.
+
+    Returns scalar (hit', cop') carries: hit' = hit OR some live pair
+    intersects; cop' = cop OR some live pair is flagged coplanar. Combined
+    semantics are identical to `ops.narrow.pair_intersects` (same FP
+    operation order); the ~45-op/8-divide component-ratio block runs only
+    when the conservative `maybe_cop` precheck fires on some live pair.
+    """
+    isect_raw, maybe_cop = _moller_interval_parts(rob, obs, dist_o, dist_r,
+                                                  live, div)
+    nrx, nry, nrz, dr = rob["nx"], rob["ny"], rob["nz"], rob["d"]
+    nox, noy, noz, do = obs["nx"], obs["ny"], obs["nz"], obs["d"]
 
     def with_cop(c):
         h, cp = c
@@ -310,11 +330,37 @@ def _rob_any_words(num_rob_tiles: int) -> int:
     return (num_rob_tiles + _GATE_WORD_BITS - 1) // _GATE_WORD_BITS
 
 
+# First gate-word column in misc: col 0 broad flag, 1..3 hot summary words,
+# 4..6 cold summary words, 7 always-zero (the profiling probes'
+# runtime-false source), 8 best-tile code (argmax rc*cc, 0 = none),
+# 9..15 spare.
+_GATE_BASE = 16
+
+
 def _misc_cols(num_rob_tiles: int, num_obs_tiles: int) -> int:
-    # Col 0 broad flag, 1..3 hot summary words, 4..6 cold summary words,
-    # col 7 always-zero (the profiling probes' runtime-false source), then
-    # hot gate words followed by cold gate words.
-    return round_up(8 + 2 * num_rob_tiles * _gate_words(num_obs_tiles), LANE)
+    # Header (_GATE_BASE cols), then hot gate words followed by cold gate
+    # words.
+    return round_up(
+        _GATE_BASE + 2 * num_rob_tiles * _gate_words(num_obs_tiles), LANE)
+
+
+# Obstacle rows per SLAB — the cold pass's dispatch granularity. Measured on
+# hard100k (scripts/gate_study.py): a valid broad-hit configuration has only
+# 1.55 slabs with any masked pair (3.4 under the cheap tri-box-vs-slab-box
+# candidate test) vs 2.2 gated 128x128 tile visits each paying a ~0.3 us
+# serialized any()->cond decision — so the cold pass dispatches [16 x 128]
+# slabs from precomputed candidate words instead of deciding per tile.
+_SLAB = 16
+
+
+def _slab_words(num_obs_subs: int) -> int:
+    return (num_obs_subs + _GATE_WORD_BITS - 1) // _GATE_WORD_BITS
+
+
+def _slab_scr_rows(num_rob_tiles: int, num_obs_subs: int) -> int:
+    # One word row per (robot tile, slab word) + 2 rows for the final
+    # hit/maybe-cop sums, sublane-rounded.
+    return round_up(num_rob_tiles * _slab_words(num_obs_subs) + 2, 8)
 
 
 def _ctz16(word):
@@ -335,11 +381,14 @@ def _kernel(
     rob_base_ref,  # VMEM [16, Tr]
     obs_t_ref,  # VMEM [To, 24]
     obs_aabb_rows_ref,  # VMEM [6, To] obstacle tri AABBs, row layout
+    obs_sub_ref,  # VMEM [To/_SLAB, 8] per-slab obstacle AABBs (lo3, hi3)
     out_ref,  # VMEM [CONFS_PER_PROGRAM, 128] int32
     rob_d,  # VMEM scratch [CONFS_PER_PROGRAM, 24, Tr]
     misc,  # VMEM scratch [CONFS_PER_PROGRAM, 128] f32:
     #        col 0 = broad flag; col 8+i = obstacle-tile gate bitmask for
     #        robot tile i (float-encoded small int).
+    slab_scr,  # VMEM scratch [_slab_scr_rows, LANE] f32: per-config slab
+    #        candidate words (overwritten config to config) + final sums.
     *,
     num_rob_tiles: int,
     num_obs_tiles: int,
@@ -350,6 +399,8 @@ def _kernel(
     stats: bool = True,
     stage_cap: int = 2,
     hot_thresh: float = 1024.0,
+    slab_sweep: bool = False,
+    best_first: bool = True,
 ):
     # ---- Stage 1 (vectorized across the block's configurations):
     # transform pre-gathered corners; planes; mini-AABBs; broad flags. ----
@@ -480,8 +531,33 @@ def _kernel(
         rob_any_c = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
                      for _ in range(r_words)]
         thresh = jnp.float32(hot_thresh)
-        cold_base = 8 + num_rob_tiles * n_words
-        for i in range(num_rob_tiles):
+        cold_base = _GATE_BASE + num_rob_tiles * n_words
+
+        # First sweep over robot tiles: per-tile obstacle counts (the
+        # expensive [CPB, To] compares + matmul, done once and kept — each
+        # col_counts[i] is a small [CPB, n_obs_tiles] array), plus the
+        # per-config BEST tile (argmax of rc*cc over gated tiles) via ONE
+        # lane-indexed product matrix. The sweep dispatches that tile
+        # FIRST: a colliding configuration's contact is almost always in
+        # its densest tile, so the any-hit exit fires after ~1 visit
+        # instead of a hot-bucket Morton scan (counters: colliding configs
+        # visited 4.58 tiles before, 2.67 after). Products and tile codes
+        # are packed into one value (prod * 2^7 + reversed code, exact in
+        # f32: prod <= 128*128 = 2^14, so packed < 2^21) so the argmax is a
+        # single lane-reduce instead of 64 serialized [CPB, 1] selects —
+        # the first version of this sweep kept 128 live [CPB, 1] arrays
+        # across two passes and the resulting spills cost easy100k 2x.
+        n_tiles = num_rob_tiles * num_obs_tiles
+        code_bits = max(7, (n_tiles - 1).bit_length())
+        code_w = jnp.float32(1 << code_bits)
+        # Clamp the product so packed < 2^23 stays exact in f32 (clamped
+        # ties fall to the lowest tile index — any near-max tile is fine).
+        max_prod = jnp.float32((1 << (23 - code_bits)) - 1)
+        col_counts = []
+        packed = jnp.zeros((CONFS_PER_PROGRAM, n_tiles), jnp.float32)
+        tcol = jax.lax.broadcasted_iota(
+            jnp.int32, (CONFS_PER_PROGRAM, n_tiles), 1)
+        for i in range(num_rob_tiles):  # noqa: C901
             sl = slice(i * rob_tile, (i + 1) * rob_tile)
             rg_lo = [jnp.min(los[k][:, sl], axis=1, keepdims=True)
                      for k in range(3)]  # [CPB, 1]
@@ -493,16 +569,46 @@ def _kernel(
                 o_hi = obs_aabb_rows_ref[3 + k : 4 + k, :]
                 ax = (rg_lo[k] <= o_hi) & (o_lo <= rg_hi[k])  # [CPB, To]
                 m = ax if m is None else (m & ax)
-            col_counts = jax.lax.dot(m.astype(jnp.float32), seg_o)
+            col_counts.append(jax.lax.dot(m.astype(jnp.float32), seg_o))
+            if best_first:
+                for j in range(num_obs_tiles):
+                    rc = row_counts[j][:, i : i + 1]
+                    cc_ = col_counts[i][:, j : j + 1]
+                    gate = (rc > 0.0) & (cc_ > 0.0)
+                    idx = i * num_obs_tiles + j
+                    val = jnp.where(
+                        gate,
+                        jnp.minimum(rc * cc_, max_prod) * code_w
+                        + jnp.float32(n_tiles - 1 - idx),
+                        0.0,
+                    )
+                    packed = jnp.where(tcol == idx, val, packed)
+        if best_first:
+            best_val = jnp.max(packed, axis=1, keepdims=True)  # [CPB, 1]
+            best_prod = jnp.floor(best_val / code_w)
+            # code = tile index + 1; 0 = no gated tile anywhere.
+            best_code = jnp.where(
+                best_val > 0.0,
+                jnp.float32(n_tiles) - (best_val - best_prod * code_w),
+                0.0,
+            )
+        else:
+            best_code = jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
 
+        # Second sweep: hot/cold word encoding from the kept small count
+        # matrices, the best tile excluded from its word (it is dispatched
+        # unconditionally, so valid configs visit the same total tile set
+        # as before).
+        for i in range(num_rob_tiles):
             words_h = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
                        for _ in range(n_words)]
             words_c = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
                        for _ in range(n_words)]
             for j in range(num_obs_tiles):
+                code = jnp.float32(i * num_obs_tiles + j + 1)
                 rc = row_counts[j][:, i : i + 1]
-                cc_ = col_counts[:, j : j + 1]
-                gate = (rc > 0.0) & (cc_ > 0.0)
+                cc_ = col_counts[i][:, j : j + 1]
+                gate = (rc > 0.0) & (cc_ > 0.0) & (best_code != code)
                 hot = gate & (rc * cc_ >= thresh)
                 w, b = divmod(j, _GATE_WORD_BITS)
                 bit = jnp.float32(1 << b)
@@ -520,13 +626,14 @@ def _kernel(
                     jnp.float32
                 ) * jnp.float32(1 << bi)
             for w in range(n_words):
-                misc_val = jnp.where(col == 8 + i * n_words + w, words_h[w],
-                                     misc_val)
+                misc_val = jnp.where(col == _GATE_BASE + i * n_words + w,
+                                     words_h[w], misc_val)
                 misc_val = jnp.where(col == cold_base + i * n_words + w,
                                      words_c[w], misc_val)
         for w in range(r_words):
             misc_val = jnp.where(col == 1 + w, rob_any_h[w], misc_val)
             misc_val = jnp.where(col == 4 + w, rob_any_c[w], misc_val)
+        misc_val = jnp.where(col == 8, best_code, misc_val)
         misc[...] = misc_val
 
     # ---- Stage 2+3 per configuration: gated tile sweep. ----
@@ -535,11 +642,13 @@ def _kernel(
     def config_body(cc, _):
         if sweep:
             _one_config(
-                cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d,
-                misc, num_rob_tiles=num_rob_tiles,
+                cc, obs_grp_ref, rob_base_ref, obs_t_ref, obs_sub_ref,
+                out_ref, rob_d, misc, slab_scr,
+                num_rob_tiles=num_rob_tiles,
                 num_obs_tiles=num_obs_tiles, rob_tile=rob_tile,
                 obs_tile=obs_tile, inner_exit=inner_exit, stats=stats,
-                stage_cap=stage_cap,
+                stage_cap=stage_cap, slab_sweep=slab_sweep,
+                best_first=best_first,
             )
         else:
             broad = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
@@ -565,10 +674,11 @@ def _kernel(
 
 
 def _one_config(
-    cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d, misc,
+    cc, obs_grp_ref, rob_base_ref, obs_t_ref, obs_sub_ref, out_ref, rob_d,
+    misc, slab_scr,
     *, num_rob_tiles: int, num_obs_tiles: int, rob_tile: int = LANE,
     obs_tile: int = LANE, inner_exit: bool = True, stats: bool = True,
-    stage_cap: int = 2,
+    stage_cap: int = 2, slab_sweep: bool = False, best_first: bool = True,
 ):
     broad_hit = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
     # Runtime-false scalar for the stage_cap profiling probes: misc col 7 is
@@ -606,14 +716,12 @@ def _one_config(
             return branch
         return jax.lax.switch(i, [mk(i0) for i0 in range(num_rob_tiles)])
 
-    def eval_rob_tile(i, carry, base0):
-        words = load_words(i, base0)
+    def load_rob_fields(i):
+        """ONE wide dynamic load for robot tile i's 19 field rows ([1, 24,
+        rob_tile] block), sliced in-register — 19 serialized
+        address-dependent narrow loads were a measured ~40% of the sweep's
+        cost. Returns (rfield, r_lo, r_hi, tile_mask)."""
         roff = pl.multiple_of(i * rob_tile, rob_tile)
-
-        # ONE wide dynamic load for this robot tile's 19 field rows ([1, 24,
-        # rob_tile] block), sliced in-register — 19 serialized
-        # address-dependent narrow loads were a measured ~40% of the sweep's
-        # cost.
         rblock = rob_d[pl.ds(cc, 1), :, pl.ds(roff, rob_tile)][0]
 
         def rrow_at(r):
@@ -628,8 +736,9 @@ def _one_config(
         r_lo = [rrow_at(_R_LO + k) for k in range(3)]
         r_hi = [rrow_at(_R_HI + k) for k in range(3)]
         tile_mask = rob_base_ref[9:10, pl.ds(roff, rob_tile)] > 0.0
+        return rfield, r_lo, r_hi, tile_mask
 
-        def tile(j, carry3):
+    def tile_body(j, carry3, rfield, r_lo, r_hi, tile_mask):
             ooff = pl.multiple_of(j * obs_tile, obs_tile)
 
             # One wide [obs_tile, 24] load for the obstacle tile,
@@ -719,6 +828,13 @@ def _one_config(
                 (hit, cop, npairs, nfull, ngate + 1, nrest),
             )
 
+    def eval_rob_tile(i, carry, base0):
+        words = load_words(i, base0)
+        rfield, r_lo, r_hi, tile_mask = load_rob_fields(i)
+
+        def tile(j, c):
+            return tile_body(j, c, rfield, r_lo, r_hi, tile_mask)
+
         carry2 = carry
         for w in range(n_words):
 
@@ -741,32 +857,231 @@ def _one_config(
                                            (words[w], carry2))
         return carry2
 
-    def run_tiles():
-        # Two passes: HOT tiles (high estimated pair count — where a
-        # colliding configuration's contact almost always is) first, COLD
-        # tiles after. The any-hit exit in the loop conditions makes the
-        # cold pass free for configurations resolved in the hot pass;
-        # valid configurations visit the same tile set either way.
-        carry = zero_carry
-        cold_base = 8 + num_rob_tiles * n_words
-        for summary_col, base0 in ((1, 8), (4, cold_base)):
-            for w in range(r_words):
-                rw0 = misc[
-                    pl.ds(cc, 1), summary_col + w : summary_col + w + 1
+    cold_base = _GATE_BASE + num_rob_tiles * n_words
+
+    def sweep_pass(carry, summary_col, base0):
+        """Per-tile exact flow over one gate-word set (hot or cold), with
+        the any-hit exit between tiles."""
+        for w in range(r_words):
+            rw0 = misc[
+                pl.ds(cc, 1), summary_col + w : summary_col + w + 1
+            ][0, 0].astype(jnp.int32)
+
+            def rob_cond(state):
+                rw, c = state
+                return (rw != 0) & jnp.logical_not(c[0])
+
+            def rob_body(state, w=w, base0=base0):
+                rw, c = state
+                i = w * _GATE_WORD_BITS + _ctz16(rw)
+                return (rw & (rw - 1), eval_rob_tile(i, c, base0))
+
+            _, carry = jax.lax.while_loop(rob_cond, rob_body, (rw0, carry))
+        return carry
+
+    num_obs_subs = obs_sub_ref.shape[0]
+    wpt = _slab_words(num_obs_subs)
+    spw = obs_tile // _SLAB  # slabs per obstacle tile
+    sum_row = num_rob_tiles * wpt  # slab_scr rows for the final sums
+
+    def cold_slab(carry):
+        """Cold pass, slab flow — FALSIFIED on v5e as a default (kept
+        opt-in, verdict-tested): on hard100k it measured 2.57 vs 2.32
+        us/config mixed and 2.01 vs 1.78 valid-only against the per-tile
+        flow. Two reasons: the per-visit any()->cond sync is cheaper than
+        the round-3 estimate that motivated this design (~0.15 us, not
+        0.3), and the cheap tri-box-vs-slab candidate test over-admits
+        2.2x (3.4 candidate slabs vs 1.55 exact, gate_study.py), so the
+        decision-free slab pass pays more unconditional Moller area + twice
+        the per-robot-tile machinery (pass A and B both pop words and load
+        the field block). The design:
+
+          A. per cold-gated robot tile, test all robot tri boxes against
+             every obstacle SLAB box ([To/16, rob_tile] compares), reduce
+             per-slab with ONE MXU matmul, pack candidate bits into float
+             words with a second matmul, and store them — no scalar syncs.
+          B. scalar-read the words back (one store->load stall per config
+             instead of one sync per tile) and run mask+planes+interval
+             UNCONDITIONALLY on each candidate [16, rob_tile] slab (2-vreg
+             arithmetic, ~1/8 of a tile), accumulating per-pair hit /
+             maybe-cop bits in vector carries.
+          C. reduce the accumulators with matmuls, store, scalar-read: one
+             final stall decides the verdict. If any maybe-cop pair was
+             seen (measured ~never on real data) the whole cold set reruns
+             through the exact per-tile flow — verdicts stay bit-identical
+             to the per-tile path because every live pair lies in some
+             candidate slab (tri box <= slab box) and the per-pair FP math
+             is shared (`_moller_interval_parts`).
+        """
+        hit0, cop0 = carry
+
+        # --- Pass A: candidate slab words, one store per robot tile. ---
+        sub_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (num_obs_subs, 1), 0)
+        jt = sub_iota // spw  # obstacle tile of each slab
+        os_lo = [obs_sub_ref[:, k : k + 1] for k in range(3)]
+        os_hi = [obs_sub_ref[:, 3 + k : 4 + k] for k in range(3)]
+        # Pack-weight matrix W[w, s] = 2^(s - 16w) within word w, else 0.
+        wr = jax.lax.broadcasted_iota(jnp.int32, (wpt, num_obs_subs), 0)
+        wc = jax.lax.broadcasted_iota(jnp.int32, (wpt, num_obs_subs), 1)
+        we = wc - wr * _GATE_WORD_BITS
+        in_word = (we >= 0) & (we < _GATE_WORD_BITS)
+        w_pack = jnp.where(
+            in_word,
+            jax.lax.shift_left(jnp.ones_like(we), jnp.where(in_word, we, 0)),
+            0,
+        ).astype(jnp.float32)
+        ones_rt = jnp.ones((rob_tile, 1), jnp.float32)
+
+        def slab_candidates(i):
+            words = load_words(i, cold_base)
+            _, r_lo, r_hi, tile_mask = load_rob_fields(i)
+            cand = tile_mask  # [1, rob_tile] broadcast over slabs
+            for k in range(3):
+                cand = cand & (r_lo[k] <= os_hi[k])
+                cand = cand & (os_lo[k] <= r_hi[k])  # [num_obs_subs, rt]
+            counts = jax.lax.dot(cand.astype(jnp.float32), ones_rt)
+            # Gate by this robot tile's cold gate words (slab s belongs to
+            # obstacle tile s // spw).
+            allowed = jnp.zeros_like(sub_iota)
+            for wj in range(n_words):
+                sel = (jt // _GATE_WORD_BITS) == wj
+                sh = jnp.where(sel, jt - wj * _GATE_WORD_BITS, 0)
+                allowed = jnp.where(
+                    sel, jax.lax.shift_right_logical(words[wj], sh) & 1,
+                    allowed)
+            bits = ((counts > 0.0) & (allowed > 0)).astype(jnp.float32)
+            wcol = jax.lax.dot(w_pack, bits)  # [wpt, 1] exact (< 2^16)
+            slab_scr[pl.ds(pl.multiple_of(i * wpt, wpt), wpt), :] = (
+                jnp.broadcast_to(wcol, (wpt, LANE)))
+
+        for w in range(r_words):
+            rw0 = misc[pl.ds(cc, 1), 4 + w : 5 + w][0, 0].astype(jnp.int32)
+
+            def a_cond(rw):
+                return rw != 0
+
+            def a_body(rw, w=w):
+                i = w * _GATE_WORD_BITS + _ctz16(rw)
+                slab_candidates(i)
+                return rw & (rw - 1)
+
+            jax.lax.while_loop(a_cond, a_body, rw0)
+
+        # --- Pass B: unconditional Moller on candidate slabs. ---
+        zero_acc = jnp.zeros((_SLAB, rob_tile), jnp.float32)
+
+        def slab_body(i_rfield, i_rlo, i_rhi, i_tmask, s_g, hv, cv):
+            ooff = pl.multiple_of(s_g * _SLAB, _SLAB)
+            oblock = obs_t_ref[pl.ds(ooff, _SLAB), :]
+
+            def ocol(c):
+                return oblock[:, c : c + 1]
+
+            mask = i_tmask
+            for k in range(3):
+                mask = mask & (i_rlo[k] <= ocol(_O_HI + k))
+                mask = mask & (ocol(_O_LO + k) <= i_rhi[k])
+            obs_fields = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
+                          "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
+            for c in range(3):
+                obs_fields[f"c{c}x"] = ocol(_O_C + 3 * c + 0)
+                obs_fields[f"c{c}y"] = ocol(_O_C + 3 * c + 1)
+                obs_fields[f"c{c}z"] = ocol(_O_C + 3 * c + 2)
+            dist_o, dist_r, live = _tile_planes(i_rfield, obs_fields)
+            live = live & mask
+            isect, mcop = _moller_interval_parts(
+                i_rfield, obs_fields, dist_o, dist_r, live)
+            return hv + isect.astype(jnp.float32), cv + mcop.astype(
+                jnp.float32)
+
+        def b_rob_tile(i, hv, cv):
+            rfield, r_lo, r_hi, tile_mask = load_rob_fields(i)
+            for w2 in range(wpt):
+                word0 = slab_scr[
+                    pl.ds(i * wpt + w2, 1), 0:1
                 ][0, 0].astype(jnp.int32)
 
-                def rob_cond(state):
-                    rw, c = state
-                    return (rw != 0) & jnp.logical_not(c[0])
+                def s_cond(state):
+                    sw, _, _ = state
+                    return sw != 0
 
-                def rob_body(state, w=w, base0=base0):
-                    rw, c = state
-                    i = w * _GATE_WORD_BITS + _ctz16(rw)
-                    return (rw & (rw - 1), eval_rob_tile(i, c, base0))
+                def s_body(state, w2=w2):
+                    sw, hv2, cv2 = state
+                    s_g = w2 * _GATE_WORD_BITS + _ctz16(sw)
+                    hv2, cv2 = slab_body(rfield, r_lo, r_hi, tile_mask,
+                                         s_g, hv2, cv2)
+                    return (sw & (sw - 1), hv2, cv2)
 
-                _, carry = jax.lax.while_loop(rob_cond, rob_body,
-                                              (rw0, carry))
-        return carry
+                _, hv, cv = jax.lax.while_loop(s_cond, s_body,
+                                               (word0, hv, cv))
+            return hv, cv
+
+        hv = zero_acc
+        cv = zero_acc
+        for w in range(r_words):
+            rw0 = misc[pl.ds(cc, 1), 4 + w : 5 + w][0, 0].astype(jnp.int32)
+
+            def b_cond(state):
+                rw, _, _ = state
+                return rw != 0
+
+            def b_body(state, w=w):
+                rw, hv2, cv2 = state
+                i = w * _GATE_WORD_BITS + _ctz16(rw)
+                hv2, cv2 = b_rob_tile(i, hv2, cv2)
+                return (rw & (rw - 1), hv2, cv2)
+
+            _, hv, cv = jax.lax.while_loop(b_cond, b_body, (rw0, hv, cv))
+
+        # --- Pass C: one stall to read the verdict sums. ---
+        ones_s = jnp.ones((1, _SLAB), jnp.float32)
+        s_h = jax.lax.dot(jax.lax.dot(ones_s, hv), ones_rt)  # [1, 1]
+        s_c = jax.lax.dot(jax.lax.dot(ones_s, cv), ones_rt)
+        # Two lane-only broadcasts (Mosaic cannot broadcast [1,1] into both
+        # sublanes and lanes in one op).
+        slab_scr[sum_row : sum_row + 1, :] = jnp.broadcast_to(s_h, (1, LANE))
+        slab_scr[sum_row + 1 : sum_row + 2, :] = jnp.broadcast_to(
+            s_c, (1, LANE))
+        sh_s = slab_scr[sum_row : sum_row + 1, 0:1][0, 0]
+        sc_s = slab_scr[sum_row + 1 : sum_row + 2, 0:1][0, 0]
+
+        def exact_cold(_):
+            # Rare maybe-cop fallback: rerun the cold set through the exact
+            # per-tile flow (identical to the slab_sweep=False path).
+            return sweep_pass((hit0, cop0), 4, cold_base)
+
+        return jax.lax.cond(
+            sc_s > 0.0, exact_cold, lambda c: c,
+            (hit0 | (sh_s > 0.0), cop0),
+        )
+
+    def run_tiles():
+        # Dispatch order: (1) the config's BEST tile (argmax estimated pair
+        # count, precomputed in stage 1) unconditionally — a colliding
+        # configuration's contact is almost always there, so the any-hit
+        # exit fires after this one visit; (2) HOT tiles with the per-tile
+        # exact flow; (3) COLD tiles — same flow, or the opt-in
+        # decision-free slab flow on the packed path. Valid configurations
+        # visit the same total tile set as without the best-first step
+        # (stage 1 cleared the best tile's gate bit).
+        if best_first:
+            best_code = misc[pl.ds(cc, 1), 8:9][0, 0].astype(jnp.int32)
+
+            def visit_best(c):
+                ib = (best_code - 1) // num_obs_tiles
+                jb = (best_code - 1) % num_obs_tiles
+                rfield, r_lo, r_hi, tile_mask = load_rob_fields(ib)
+                return tile_body(jb, c, rfield, r_lo, r_hi, tile_mask)
+
+            carry = jax.lax.cond(best_code > 0, visit_best, lambda c: c,
+                                 zero_carry)
+        else:
+            carry = zero_carry
+        carry = sweep_pass(carry, 1, _GATE_BASE)  # hot
+        if stats or not slab_sweep:
+            return sweep_pass(carry, 4, cold_base)
+        return jax.lax.cond(carry[0], lambda c: c, cold_slab, carry)
 
     carry_out = jax.lax.cond(broad_hit, run_tiles, lambda: zero_carry)
     if stats:
@@ -799,6 +1114,7 @@ class MegaKernelPrep:
     obs_mesh_aabb: np.ndarray  # [1, 8] f32
     obs_group_aabbs: np.ndarray  # [To/obs_tile, 8] f32 per-group AABBs
     obs_aabb_rows: np.ndarray  # [6, To] f32 tri AABBs in row layout
+    obs_sub: np.ndarray  # [To/_SLAB, 8] f32 per-slab AABBs (lo3, hi3, 0, 0)
     num_rob_tiles: int
     num_obs_tiles: int
     rob_tile: int = LANE
@@ -870,6 +1186,22 @@ class MegaKernelPrep:
                 obs_grp[g, 0:3] = obs_tv[lo:hi].reshape(-1, 3).min(axis=0)
                 obs_grp[g, 3:6] = obs_tv[lo:hi].reshape(-1, 3).max(axis=0)
 
+        # Per-SLAB (16-triangle) obstacle AABBs for the cold pass's
+        # decision-free slab sweep (`_one_config.cold_slab`): Morton
+        # ordering keeps these tight; gate_study.py measured 3.4 candidate
+        # slabs per valid broad-hit configuration under the tri-box-vs-slab
+        # test vs 1.55 exact. Cols: lo x/y/z, hi x/y/z, 0, 0.
+        n_subs = to // _SLAB
+        obs_sub = np.zeros((n_subs, 8), dtype=np.float32)
+        obs_sub[:, 0:3] = np.inf
+        obs_sub[:, 3:6] = -np.inf
+        for g in range(n_subs):
+            lo = g * _SLAB
+            hi = min((g + 1) * _SLAB, obs_tv.shape[0])
+            if hi > lo:
+                obs_sub[g, 0:3] = obs_tv[lo:hi].reshape(-1, 3).min(axis=0)
+                obs_sub[g, 3:6] = obs_tv[lo:hi].reshape(-1, 3).max(axis=0)
+
         # VMEM residency check: the kernel keeps the full mesh tables plus
         # derived-field scratch on-chip. Oversized meshes need the streaming
         # design this kernel doesn't implement yet — fail loudly and point at
@@ -899,6 +1231,7 @@ class MegaKernelPrep:
             obs_mesh_aabb=obs_mesh,
             obs_group_aabbs=obs_grp,
             obs_aabb_rows=obs_aabb_rows,
+            obs_sub=obs_sub,
             num_rob_tiles=tr // rob_tile,
             num_obs_tiles=to // obs_tile,
             rob_tile=rob_tile,
@@ -910,20 +1243,24 @@ class MegaKernelPrep:
                                              "rob_tile", "obs_tile",
                                              "inner_exit", "interpret",
                                              "sweep", "stats", "stage_cap",
-                                             "hot_thresh"))
+                                             "hot_thresh", "slab_sweep",
+                                             "best_first"))
 def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
-               obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
+               obs_aabb_rows, obs_sub, *, num_rob_tiles, num_obs_tiles,
                rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                interpret=False, sweep=True, stats=True, stage_cap=2,
-               hot_thresh=1024.0):
+               hot_thresh=1024.0, slab_sweep=False, best_first=True):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
+    assert obs_tile % _SLAB == 0, obs_tile
     tr = rob_base.shape[1]
     to = obs_t.shape[0]
+    n_subs = obs_sub.shape[0]
     kernel = functools.partial(
         _kernel, num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         sweep=sweep, stats=stats, stage_cap=stage_cap, hot_thresh=hot_thresh,
+        slab_sweep=slab_sweep, best_first=best_first,
     )
     return pl.pallas_call(
         kernel,
@@ -937,6 +1274,8 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
             pl.BlockSpec((16, tr), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((to, _O_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((6, to), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_subs, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((CONFS_PER_PROGRAM, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -947,6 +1286,9 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
                 (CONFS_PER_PROGRAM, _misc_cols(num_rob_tiles, num_obs_tiles)),
                 jnp.float32,
             ),
+            pltpu.VMEM(
+                (_slab_scr_rows(num_rob_tiles, n_subs), LANE), jnp.float32
+            ),
         ],
         # v5e has 128 MB of VMEM; the default 16 MB scoped limit rejects
         # chunked-checker table sizes (2k robot / 8k obstacle triangles)
@@ -955,7 +1297,8 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
             vmem_limit_bytes=48 * 1024 * 1024
         ),
         interpret=interpret,
-    )(obs_mesh_aabb, obs_group_aabbs, poses, rob_base, obs_t, obs_aabb_rows)
+    )(obs_mesh_aabb, obs_group_aabbs, poses, rob_base, obs_t, obs_aabb_rows,
+      obs_sub)
 
 
 def poses_from_confs(confs: jnp.ndarray) -> jnp.ndarray:
@@ -986,8 +1329,9 @@ OUT_COLS = 8
                                              "rob_tile", "obs_tile",
                                              "interpret"))
 def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
-                      obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
-                      rob_tile=LANE, obs_tile=LANE, interpret=False):
+                      obs_aabb_rows, obs_sub, *, num_rob_tiles,
+                      num_obs_tiles, rob_tile=LANE, obs_tile=LANE,
+                      interpret=False):
     """Fused block check: pose construction + kernel + column trim, one jit.
 
     Trimming to OUT_COLS on-device matters: the kernel's [B, 128] int32
@@ -995,7 +1339,7 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
     needed (profiled as the dominant cost of a hard-dataset run)."""
     out = _mega_call(
         poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
-        obs_aabb_rows,
+        obs_aabb_rows, obs_sub,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile,
         interpret=interpret,
@@ -1007,12 +1351,14 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
                                              "rob_tile", "obs_tile",
                                              "inner_exit", "interpret",
                                              "sweep", "stage_cap",
-                                             "hot_thresh"))
+                                             "hot_thresh", "slab_sweep",
+                                             "best_first"))
 def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
-                        obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
-                        rob_tile=LANE, obs_tile=LANE, inner_exit=True,
-                        interpret=False, sweep=True, stage_cap=2,
-                        hot_thresh=1024.0):
+                        obs_aabb_rows, obs_sub, *, num_rob_tiles,
+                        num_obs_tiles, rob_tile=LANE, obs_tile=LANE,
+                        inner_exit=True, interpret=False, sweep=True,
+                        stage_cap=2, hot_thresh=1024.0, slab_sweep=False,
+                        best_first=True):
     # stats=False: verdict bits only — drops the per-tile pair-count
     # reduction and one cond level per gated tile (a measured ~2x sweep
     # win); the impl path keeps full counters for the stats surface.
@@ -1022,11 +1368,11 @@ def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
     large-batch throughput on tunneled/tethered deployments."""
     out = _mega_call(
         poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
-        obs_aabb_rows,
+        obs_aabb_rows, obs_sub,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         interpret=interpret, sweep=sweep, stats=False, stage_cap=stage_cap,
-        hot_thresh=hot_thresh,
+        hot_thresh=hot_thresh, slab_sweep=slab_sweep, best_first=best_first,
     )
     return (out[:, 0] | (out[:, 1] << 1)).astype(jnp.uint8)
 
@@ -1131,6 +1477,7 @@ class MegaKernelChecker:
         self._rob_base = jnp.asarray(self.prep.rob_base)
         self._obs_t = jnp.asarray(self.prep.obs_t)
         self._obs_aabb_rows = jnp.asarray(self.prep.obs_aabb_rows)
+        self._obs_sub = jnp.asarray(self.prep.obs_sub)
         self._obs_mesh = jnp.asarray(self.prep.obs_mesh_aabb)
         self._obs_grp = jnp.asarray(self.prep.obs_group_aabbs)
         self._interpret = interpret
@@ -1146,7 +1493,7 @@ class MegaKernelChecker:
         """[B,6] device confs -> [B, OUT_COLS] int32 kernel output."""
         return _check_block_impl(
             confs, self._obs_mesh, self._obs_grp, self._rob_base, self._obs_t,
-            self._obs_aabb_rows,
+            self._obs_aabb_rows, self._obs_sub,
             num_rob_tiles=self.prep.num_rob_tiles,
             num_obs_tiles=self.prep.num_obs_tiles,
             rob_tile=self.prep.rob_tile, obs_tile=self.prep.obs_tile,
@@ -1250,6 +1597,7 @@ class MegaKernelChecker:
                     _check_block_packed(
                         part, self._obs_mesh, self._obs_grp,
                         self._rob_base, self._obs_t, self._obs_aabb_rows,
+                        self._obs_sub,
                         num_rob_tiles=self.prep.num_rob_tiles,
                         num_obs_tiles=self.prep.num_obs_tiles,
                         rob_tile=self.prep.rob_tile,
@@ -1277,6 +1625,7 @@ class MegaKernelChecker:
                 _check_block_packed(
                     jnp.asarray(part), self._obs_mesh, self._obs_grp,
                     self._rob_base, self._obs_t, self._obs_aabb_rows,
+                    self._obs_sub,
                     num_rob_tiles=self.prep.num_rob_tiles,
                     num_obs_tiles=self.prep.num_obs_tiles,
                     rob_tile=self.prep.rob_tile,

@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..core.types import Mesh
+from .ccd import SweptCertificate, SweptCertifier, covering_radius
 from .prm import PRMConfig, PRMPlanner, PRMResult
 from .rrt import RRTConfig, RRTConnectPlanner, RRTResult
 from .sdf import DistanceGrid, build_distance_grid, point_triangle_distance
@@ -26,6 +27,7 @@ __all__ = [
     "SQPConfig", "SQPOptimizer", "SQPResult",
     "TrajectoryOptimizer", "TrajOptConfig", "TrajOptResult",
     "DistanceGrid", "build_distance_grid", "point_triangle_distance",
+    "SweptCertificate", "SweptCertifier", "covering_radius",
     "densify", "resample", "plan_and_smooth",
 ]
 

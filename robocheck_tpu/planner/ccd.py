@@ -1,0 +1,238 @@
+"""Conservative continuous-collision certification (CCD-lite).
+
+Discrete boolean checks along a densified path — the reference's only
+notion of edge validation (its PRM assets ship start/goal queries,
+`models/alpha1.0/alpha.query:1-2`, but no edge checker at all) — can
+tunnel: a long thin robot can pass clean through a wall between two
+samples.  This module closes that gap with a *certificate*, not more
+samples: between consecutive dense samples it bounds how far any robot
+surface point can move and proves the whole swept volume stays clear.
+
+The certificate (all bounds rigorous, conservative in every approximation):
+
+  For the linear-in-configuration motion q(s) = (1-s) q_a + s q_b,
+  every robot surface point p (body frame, |p| <= r_max) satisfies
+
+      |p(s) - p(0)| <= s |dt| + theta(s) |p|,   theta(s) <= s * sum|dEuler|
+
+  (angular-velocity integral of the Euler-rate bound; ||R(s)-R(0)||_2 =
+  2 sin(theta/2) <= theta).  So the whole motion of every surface point
+  stays inside a ball of radius
+
+      delta = |dt| + (|dyaw| + |dpitch| + |droll|) * r_max
+
+  around its start (or, symmetrically, its end) position.  If the robot
+  surface's conservative obstacle clearance at q_a (or q_b) exceeds delta,
+  no surface point can touch the obstacle during the step; combined with
+  boolean validity at the endpoints, the step is certified collision-free
+  (collision semantics are surface-intersection, matching the checker).
+
+  Surface clearance at a pose is lower-bounded from three measured pieces:
+    * sampled distances: robot VERTICES posed into the world and queried
+      against the obstacle distance grid (`planner/sdf.py`);
+    * grid error e_g: a trilinear value is a convex combination of node
+      distances and true distance is 1-Lipschitz, so
+      d_true(x) >= trilinear(x) - cell_diagonal; out-of-domain points use
+      dist(x, obstacle AABB) instead (the obstacle is inside its AABB);
+    * covering radius r_cov: any surface point lies in some triangle and
+      every triangle point is within longest_edge/sqrt(3) of one of its
+      vertices (acute: circumradius <= L/sqrt(3); obtuse: L/2 < L/sqrt(3)),
+      so  d_true(surface point) >= min_vertex_distance - r_cov.
+
+  Steps that fail the clearance test are SUBDIVIDED (delta halves per
+  split while clearance is stable), with boolean checks on inserted
+  midpoints; a path certifies iff its true clearance exceeds the method
+  floor e_g + r_cov — which `floor()` reports, so an uncertifiable scene
+  yields a measured gap statement instead of false confidence.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Mesh
+from .sdf import DistanceGrid, build_distance_grid
+
+_SQRT3 = float(np.sqrt(3.0))
+
+
+def covering_radius(mesh: Mesh) -> float:
+    """max over triangles of longest_edge/sqrt(3): every surface point is
+    within this distance of some mesh vertex (see module docstring)."""
+    tv = mesh.triangle_vertices.astype(np.float64)
+    e = np.stack([
+        np.linalg.norm(tv[:, 1] - tv[:, 0], axis=1),
+        np.linalg.norm(tv[:, 2] - tv[:, 1], axis=1),
+        np.linalg.norm(tv[:, 0] - tv[:, 2], axis=1),
+    ])
+    return float(e.max() / _SQRT3)
+
+
+def subdivide_mesh(mesh: Mesh, levels: int = 1) -> Mesh:
+    """Loop-topology 1->4 triangle subdivision (midpoint, no smoothing):
+    same surface, 4x triangles per level — shrinks ``covering_radius`` 2x
+    per level, tightening the certificate floor at sampling cost."""
+    v = mesh.vertices.astype(np.float64)
+    f = mesh.triangles.astype(np.int64)
+    for _ in range(levels):
+        edges = {}
+        verts = list(v)
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edges:
+                edges[key] = len(verts)
+                verts.append((v[a] + v[b]) / 2.0)
+            return edges[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
+        v = np.asarray(verts)
+        f = np.asarray(nf, dtype=np.int64)
+    return Mesh(v.astype(np.float32), f.astype(np.int32),
+                name=f"{mesh.name}/sub")
+
+
+@dataclasses.dataclass
+class SweptCertificate:
+    """Result of a continuous certification attempt."""
+
+    certified: bool  # whole path proven collision-free (continuous)
+    collision: bool  # a boolean check FAILED (path definitely invalid)
+    num_checks: int  # exact boolean checks spent
+    num_steps: int  # final number of certified steps
+    min_clearance: float  # worst conservative surface clearance seen
+    method_floor: float  # e_g + r_cov: clearances below this can't certify
+    uncertified_steps: int  # steps still unproven at max depth
+
+
+class SweptCertifier:
+    """Continuous certification for piecewise-linear configuration paths.
+
+    ``certify(path, checker)`` returns a :class:`SweptCertificate`;
+    ``checker`` is any object with ``check_valid_resolved(confs)`` (the
+    exact resolved verdict surface). The distance grid is built once per
+    obstacle (reusable across paths; pass ``grid=`` to share the
+    optimizer's).
+    """
+
+    def __init__(self, robot: Mesh, obstacle: Mesh,
+                 grid: DistanceGrid | None = None, resolution: int = 96,
+                 refine: int = 0, rot_scale_hint: float = 20.0):
+        self.robot = subdivide_mesh(robot, refine) if refine else robot
+        self.obstacle = obstacle
+        self.grid = grid if grid is not None else build_distance_grid(
+            obstacle, resolution
+        )
+        self.r_cov = covering_radius(self.robot)
+        self.r_max = float(
+            np.linalg.norm(self.robot.vertices.astype(np.float64), axis=1).max()
+        )
+        # Conservative trilinear error: full cell diagonal (true distance is
+        # 1-Lipschitz; a trilinear value mixes the cell's 8 corner nodes).
+        self.e_g = float(np.linalg.norm(np.asarray(self.grid.spacing)))
+        self._verts = jnp.asarray(self.robot.vertices.astype(np.float32))
+        self._obs_lo = obstacle.aabb[:3].astype(np.float64)
+        self._obs_hi = obstacle.aabb[3:].astype(np.float64)
+        # Grid domain for the in-domain test.
+        origin = np.asarray(self.grid.origin, dtype=np.float64)
+        shape = np.asarray(self.grid.values.shape, dtype=np.float64)
+        spacing = np.asarray(self.grid.spacing, dtype=np.float64)
+        self._dom_lo = origin
+        self._dom_hi = origin + (shape - 1.0) * spacing
+
+    def floor(self) -> float:
+        """Minimum true clearance a path must have anywhere for this
+        certifier to succeed (e_g + r_cov). Tighten with a finer grid
+        (resolution) and surface refinement (refine)."""
+        return self.e_g + self.r_cov
+
+    def step_bounds(self, path: np.ndarray) -> np.ndarray:
+        """delta[j]: max surface-point displacement bound for step j."""
+        p = path.astype(np.float64)
+        dt = np.linalg.norm(p[1:, 0:3] - p[:-1, 0:3], axis=1)
+        dang = np.abs(p[1:, 3:6] - p[:-1, 3:6]).sum(axis=1)
+        return dt + dang * self.r_max
+
+    def clearances(self, path: np.ndarray, chunk: int = 256) -> np.ndarray:
+        """Conservative robot-surface clearance at each configuration:
+        min over vertices of (lower-bounded distance) minus r_cov."""
+        from ..ops.transform import rotation_matrices
+
+        out = np.empty(len(path), dtype=np.float64)
+        for lo in range(0, len(path), chunk):
+            part = np.asarray(path[lo : lo + chunk], dtype=np.float32)
+            R = rotation_matrices(jnp.asarray(part))  # [B,3,3]
+            t = jnp.asarray(part[:, 0:3])
+            pts = jnp.einsum("bij,pj->bpi", R, self._verts) + t[:, None, :]
+            tril = np.asarray(self.grid.query(pts), dtype=np.float64)
+            p_np = np.asarray(pts, dtype=np.float64)
+            in_dom = np.logical_and(
+                (p_np >= self._dom_lo).all(-1), (p_np <= self._dom_hi).all(-1)
+            )
+            # Out-of-domain points: the obstacle is inside its AABB, so the
+            # distance to the AABB is a true lower bound.
+            gap = np.maximum(self._obs_lo - p_np, 0.0) + np.maximum(
+                p_np - self._obs_hi, 0.0
+            )
+            d_aabb = np.linalg.norm(gap, axis=-1)
+            d_low = np.where(in_dom, tril - self.e_g, d_aabb)
+            out[lo : lo + len(part)] = d_low.min(axis=1) - self.r_cov
+        return out
+
+    def certify(self, path: np.ndarray, checker,
+                max_depth: int = 8) -> SweptCertificate:
+        """Prove (or refute, or give up with a measured gap) that the
+        piecewise-linear path is collision-free CONTINUOUSLY.
+
+        The path's own vertices are boolean-checked here too, so callers
+        can pass any piecewise-linear path (waypoints or densified)."""
+        path = np.asarray(path, dtype=np.float32)
+        valid = np.asarray(checker.check_valid_resolved(path), dtype=bool)
+        num_checks = len(path)
+        if not valid.all():
+            return SweptCertificate(False, True, num_checks, len(path) - 1,
+                                    float("nan"), self.floor(), 0)
+        clear = self.clearances(path)
+        min_clear = float(clear.min())
+        for _ in range(max_depth):
+            delta = self.step_bounds(path)
+            # A step certifies from EITHER endpoint's clearance ball.
+            ok = np.maximum(clear[:-1], clear[1:]) > delta
+            if ok.all():
+                return SweptCertificate(True, False, num_checks,
+                                        len(path) - 1, min_clear,
+                                        self.floor(), 0)
+            # Subdivide failing steps: insert midpoints, boolean-check them,
+            # recompute their clearances only.
+            bad = np.nonzero(~ok)[0]
+            mids = 0.5 * (path[bad].astype(np.float64)
+                          + path[bad + 1].astype(np.float64))
+            mids = mids.astype(np.float32)
+            mvalid = np.asarray(checker.check_valid_resolved(mids),
+                                dtype=bool)
+            num_checks += len(mids)
+            if not mvalid.all():
+                return SweptCertificate(False, True, num_checks,
+                                        len(path) - 1, min_clear,
+                                        self.floor(), 0)
+            mclear = self.clearances(mids)
+            min_clear = min(min_clear, float(mclear.min()))
+            new_path = np.empty((len(path) + len(bad), 6), dtype=np.float32)
+            new_clear = np.empty(len(path) + len(bad), dtype=np.float64)
+            ins = bad + 1 + np.arange(len(bad))
+            keep = np.setdiff1d(np.arange(len(new_path)), ins)
+            new_path[keep] = path
+            new_clear[keep] = clear
+            new_path[ins] = mids
+            new_clear[ins] = mclear
+            path, clear = new_path, new_clear
+        delta = self.step_bounds(path)
+        ok = np.maximum(clear[:-1], clear[1:]) > delta
+        return SweptCertificate(bool(ok.all()), False, num_checks,
+                                len(path) - 1, min_clear, self.floor(),
+                                int((~ok).sum()))

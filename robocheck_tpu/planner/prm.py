@@ -65,12 +65,16 @@ class PRMPlanner:
                  config: PRMConfig | None = None,
                  checker: MegaKernelChecker | None = None,
                  sample_box: tuple | None = None,
-                 interpret: bool = False):
+                 interpret: bool = False, mesh=None):
+        from ..kernels.chunked import make_checker
+
         self.robot = robot
         self.obstacle = obstacle
         self.cfg = config or PRMConfig()
-        self.checker = checker or MegaKernelChecker(
-            robot, obstacle, interpret=interpret
+        # ``mesh`` (a jax.sharding.Mesh) shards every collision batch over
+        # the device mesh (ShardedChecker); None = single chip.
+        self.checker = checker or make_checker(
+            robot, obstacle, interpret=interpret, mesh=mesh
         )
         if sample_box is None:
             # Default sampling volume: obstacle AABB inflated by one robot

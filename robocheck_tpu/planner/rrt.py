@@ -55,14 +55,16 @@ class RRTResult(NamedTuple):
 class RRTConnectPlanner:
     def __init__(self, robot: Mesh, obstacle: Mesh,
                  config: RRTConfig | None = None, checker=None,
-                 sample_box=None, interpret: bool = False):
-        from ..kernels.megakernel import MegaKernelChecker
+                 sample_box=None, interpret: bool = False, mesh=None):
+        from ..kernels.chunked import make_checker
 
         self.robot = robot
         self.obstacle = obstacle
         self.cfg = config or RRTConfig()
-        self.checker = checker or MegaKernelChecker(robot, obstacle,
-                                                    interpret=interpret)
+        # ``mesh`` (a jax.sharding.Mesh) shards every collision batch over
+        # the device mesh (ShardedChecker); None = single chip.
+        self.checker = checker or make_checker(robot, obstacle,
+                                               interpret=interpret, mesh=mesh)
         r = robot.aabb.astype(np.float64)
         o = obstacle.aabb.astype(np.float64)
         ext = float((r[3:] - r[:3]).min())

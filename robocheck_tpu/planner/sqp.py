@@ -77,7 +77,9 @@ class SQPOptimizer:
                  config: SQPConfig | None = None,
                  grid: DistanceGrid | None = None,
                  checker: MegaKernelChecker | None = None,
-                 interpret: bool = False):
+                 interpret: bool = False, mesh=None):
+        from ..kernels.chunked import make_checker
+
         self.robot = robot
         self.obstacle = obstacle
         self.cfg = config or SQPConfig()
@@ -85,8 +87,14 @@ class SQPOptimizer:
         self.grid = grid if grid is not None else build_distance_grid(
             obstacle, cfg.grid_resolution
         )
-        self.checker = checker or MegaKernelChecker(
-            robot, obstacle, interpret=interpret
+        # ``mesh`` (a jax.sharding.Mesh): certification batches route
+        # through the batch-sharded checker AND constraint evaluation
+        # shards over the waypoint axis with psum-reduced penalty totals
+        # (the "planner constraint blocks reduced with psum" leg of
+        # BASELINE.json configs[4]; see _constraint_blocks below).
+        self.mesh = mesh
+        self.checker = checker or make_checker(
+            robot, obstacle, interpret=interpret, mesh=mesh
         )
         self._samples = jnp.asarray(
             _sample_surface_points(robot, cfg.num_surface_samples, cfg.seed)
@@ -109,6 +117,43 @@ class SQPOptimizer:
         # Batched residuals + block-diagonal Jacobians over all waypoints.
         self._residuals = jax.jit(jax.vmap(waypoint_residuals))
         self._jacobians = jax.jit(jax.vmap(jax.jacrev(waypoint_residuals)))
+
+        if mesh is not None:
+            # SPMD constraint evaluation: waypoints shard over the device
+            # mesh's batch axis, each device evaluates its waypoints'
+            # residual/Jacobian blocks (surface-sample posing + grid
+            # queries — the expensive part), and the scalar penalty total
+            # reduces with psum over ICI. The g/J blocks stay sharded; the
+            # subproblem consumes them as global jax.Arrays.
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            self._ndev = mesh.devices.size
+
+            @jax.jit
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P()),
+            )
+            def blocks_sharded(q_shard, mask_shard):
+                g = jax.vmap(waypoint_residuals)(q_shard)
+                J = jax.vmap(jax.jacrev(waypoint_residuals))(q_shard)
+                local = jnp.sum(jnp.maximum(g, 0.0) * mask_shard[:, None])
+                return g, J, jax.lax.psum(local[None], axis)
+
+            @jax.jit
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(axis), P(axis)), out_specs=P(),
+            )
+            def penalty_sharded(q_shard, mask_shard):
+                g = jax.vmap(waypoint_residuals)(q_shard)
+                local = jnp.sum(jnp.maximum(g, 0.0) * mask_shard[:, None])
+                return jax.lax.psum(local[None], axis)
+
+            self._blocks_sharded = blocks_sharded
+            self._penalty_sharded = penalty_sharded
 
         def smooth_cost(q):
             dq = (q[1:] - q[:-1]) * scale
@@ -153,11 +198,39 @@ class SQPOptimizer:
 
         self._solve_subproblem = solve_subproblem
 
-    def _merit(self, q: jnp.ndarray, mu: float) -> float:
-        g = self._residuals(q)
-        return float(
-            self._smooth_cost(q) + mu * float(jnp.sum(jnp.maximum(g, 0.0)))
+    def _pad_waypoints(self, q: jnp.ndarray):
+        """Pad the waypoint axis to a device-count multiple (duplicated
+        last row, masked out of every reduction)."""
+        t = q.shape[0]
+        pad = (-t) % self._ndev
+        mask = jnp.concatenate(
+            [jnp.ones((t,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
         )
+        if pad:
+            q = jnp.concatenate([q, jnp.broadcast_to(q[-1:], (pad, 6))])
+        return q, mask, t
+
+    def _constraint_blocks(self, q: jnp.ndarray):
+        """(g0 [T,K], J [T,K,6], penalty total) — waypoint-sharded with a
+        psum-reduced penalty when a device mesh was given, single-device
+        otherwise."""
+        if self.mesh is None:
+            g = self._residuals(q)
+            J = self._jacobians(q)
+            return g, J, float(jnp.sum(jnp.maximum(g, 0.0)))
+        qp, mask, t = self._pad_waypoints(q)
+        g, J, tot = self._blocks_sharded(qp, mask)
+        return g[:t], J[:t], float(tot[0])
+
+    def _penalty_total(self, q: jnp.ndarray) -> float:
+        if self.mesh is None:
+            g = self._residuals(q)
+            return float(jnp.sum(jnp.maximum(g, 0.0)))
+        qp, mask, _ = self._pad_waypoints(q)
+        return float(self._penalty_sharded(qp, mask)[0])
+
+    def _merit(self, q: jnp.ndarray, mu: float) -> float:
+        return float(self._smooth_cost(q)) + mu * self._penalty_total(q)
 
     def _certify(self, traj: np.ndarray) -> bool:
         step = self.cfg.certify_step
@@ -220,8 +293,7 @@ class SQPOptimizer:
         for rnd in range(start_round, cfg.max_penalty_rounds):
             for _ in range(cfg.max_outer):
                 outer += 1
-                g0 = self._residuals(qj)
-                J = self._jacobians(qj)
+                g0, J, _ = self._constraint_blocks(qj)
                 dq = self._solve_subproblem(qj, g0, J, jnp.float32(mu),
                                             jnp.float32(delta))
                 merit_old = self._merit(qj, mu)

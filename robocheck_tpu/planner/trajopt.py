@@ -52,6 +52,12 @@ class TrajOptConfig:
     # Certificate spacing: one exact check per this much translation distance
     # along each segment (None -> half the robot's smallest AABB extent).
     certify_step: float | None = None
+    # Continuous certification (planner/ccd.py): prove the swept volume
+    # between dense samples clear, not just the samples — kills the
+    # tunneling caveat of discrete densify+check. Conservative: some paths
+    # that are actually free cannot be certified (see SweptCertifier.floor).
+    swept_certify: bool = False
+    swept_refine: int = 0  # surface subdivision levels for the certifier
     seed: int = 0
 
 
@@ -61,6 +67,9 @@ class TrajOptResult(NamedTuple):
     certified: bool  # entire densified path collision-free (exact checker)
     rounds: int
     final_cost: float
+    # Continuous certificate (None unless cfg.swept_certify): a
+    # planner.ccd.SweptCertificate proving the swept volume clear.
+    swept: object | None = None
 
 
 def resample(path: np.ndarray, num_waypoints: int,
@@ -137,15 +146,19 @@ class TrajectoryOptimizer:
                  config: TrajOptConfig | None = None,
                  grid: DistanceGrid | None = None,
                  checker: MegaKernelChecker | None = None,
-                 interpret: bool = False):
+                 interpret: bool = False, mesh=None):
+        from ..kernels.chunked import make_checker
+
         self.robot = robot
         self.obstacle = obstacle
         self.cfg = config or TrajOptConfig()
         self.grid = grid if grid is not None else build_distance_grid(
             obstacle, self.cfg.grid_resolution
         )
-        self.checker = checker or MegaKernelChecker(
-            robot, obstacle, interpret=interpret
+        # ``mesh`` (a jax.sharding.Mesh) routes every certification batch
+        # through the batch-sharded checker; None = single chip.
+        self.checker = checker or make_checker(
+            robot, obstacle, interpret=interpret, mesh=mesh
         )
         self._samples = jnp.asarray(
             _sample_surface_points(robot, self.cfg.num_surface_samples,
@@ -249,21 +262,35 @@ class TrajectoryOptimizer:
             traj = np.concatenate(
                 [start[None], np.asarray(free), goal[None]], axis=0
             )
-            valid, certified = self._certify(traj)
+            valid, certified, swept = self._certify(traj)
             last_cost = float(cost)
             if certified:
-                return TrajOptResult(traj, valid, True, rnd + 1, last_cost)
+                return TrajOptResult(traj, valid, True, rnd + 1, last_cost,
+                                     swept)
             w *= self.cfg.collision_weight_growth
         traj = np.concatenate(
             [start[None], np.asarray(free), goal[None]], axis=0
         )
-        valid, certified = self._certify(traj)
+        valid, certified, swept = self._certify(traj)
         return TrajOptResult(traj, valid, certified, self.cfg.max_rounds,
-                             last_cost)
+                             last_cost, swept)
 
-    def _certify(self, traj: np.ndarray) -> tuple[np.ndarray, bool]:
-        """Exact boolean check on the adaptively densified path; returns
-        per-waypoint validity and the whole-path certificate."""
+    def _swept_certifier(self):
+        from .ccd import SweptCertifier
+
+        if not hasattr(self, "_swept_cert"):
+            # Reuse the optimizer's distance grid only if it is fine enough
+            # to be a useful bound; the certifier default (96^3) usually is.
+            self._swept_cert = SweptCertifier(
+                self.robot, self.obstacle, refine=self.cfg.swept_refine,
+            )
+        return self._swept_cert
+
+    def _certify(self, traj: np.ndarray):
+        """Exact boolean check on the adaptively densified path (plus the
+        optional continuous swept certificate); returns per-waypoint
+        validity, the discrete whole-path certificate, and the
+        SweptCertificate (or None)."""
         step = self.cfg.certify_step
         if step is None:
             ext = self.robot.aabb[3:] - self.robot.aabb[:3]
@@ -279,4 +306,14 @@ class TrajectoryOptimizer:
         for s in bad_segs:
             waypoint_valid[s] = False
             waypoint_valid[s + 1] = False
-        return waypoint_valid, bool(dvalid.all())
+        certified = bool(dvalid.all())
+        swept = None
+        if certified and self.cfg.swept_certify:
+            # Continuous upgrade: the discrete certificate passed; prove the
+            # motion BETWEEN dense samples too. The certifier re-checks its
+            # own inserted midpoints; a swept refutation (collision between
+            # samples) also revokes the discrete certificate.
+            swept = self._swept_certifier().certify(dense, self.checker)
+            if swept.collision:
+                certified = False
+        return waypoint_valid, certified, swept

@@ -37,6 +37,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--valid-only", action="store_true")
+    ap.add_argument("--invalid-only", action="store_true")
     ap.add_argument("--counters", action="store_true")
     ap.add_argument("--variants", nargs="*", default=[
         "128,128,1,2", "128,128,1,1", "128,128,1,0", "128,128,0,2",
@@ -63,6 +64,10 @@ def main() -> int:
         sel = np.nonzero(hard.valid)[0][:C]
         confs = hard.confs[sel]
         gold = hard.valid[sel]
+    elif args.invalid_only:
+        sel = np.nonzero(~hard.valid)[0][:C]
+        confs = hard.confs[sel]
+        gold = hard.valid[sel]
     else:
         confs = hard.confs[:C]
         gold = hard.valid[:C]
@@ -73,18 +78,20 @@ def main() -> int:
         rt, ot, ie = parts[:3]
         cap = parts[3] if len(parts) > 3 else 2
         hot = float(parts[4]) if len(parts) > 4 else 1024.0
+        slab = bool(parts[5]) if len(parts) > 5 else True
         t0 = time.perf_counter()
         ck = mk.MegaKernelChecker(robot, obstacle, interpret=interpret,
                                   rob_tile=rt, obs_tile=ot)
 
-        def packed(dev, ck=ck, ie=ie, cap=cap, hot=hot):
+        def packed(dev, ck=ck, ie=ie, cap=cap, hot=hot, slab=slab):
             return mk._check_block_packed(
                 dev, ck._obs_mesh, ck._obs_grp, ck._rob_base, ck._obs_t,
-                ck._obs_aabb_rows,
+                ck._obs_aabb_rows, ck._obs_sub,
                 num_rob_tiles=ck.prep.num_rob_tiles,
                 num_obs_tiles=ck.prep.num_obs_tiles,
                 rob_tile=rt, obs_tile=ot, inner_exit=bool(ie),
-                stage_cap=cap, hot_thresh=hot, interpret=interpret,
+                stage_cap=cap, hot_thresh=hot, slab_sweep=slab,
+                interpret=interpret,
             )
 
         dev = jax.device_put(confs)
@@ -95,7 +102,7 @@ def main() -> int:
         best = bench_async(lambda: packed(dev))
         print(json.dumps({
             "rt": rt, "ot": ot, "inner_exit": bool(ie), "stage_cap": cap,
-            "hot": hot,
+            "hot": hot, "slab": slab,
             "checks_per_s": round(C / best, 0),
             "us_per_conf": round(best / C * 1e6, 3),
             "mismatches": mism,

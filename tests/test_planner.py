@@ -231,7 +231,7 @@ class TestPlannerCoplanarCertify:
         raw, cop = opt.checker.check_valid(np.zeros((1, 6), np.float32))
         assert raw[0] and cop[0]  # the raw path would have certified this
         traj = np.zeros((3, 6), np.float32)
-        waypoint_valid, certified = opt._certify(traj)
+        waypoint_valid, certified, _ = opt._certify(traj)
         assert not certified
         assert not waypoint_valid.all()
 
@@ -284,3 +284,51 @@ class TestRRTConnect:
         goal = np.array([2.5, 0, 0, 0, 0, 0], np.float32)
         res = planner.plan(inside, goal)
         assert res.path is None and res.num_nodes == 0
+
+
+class TestShardedPlanner:
+    """BASELINE.json configs[4]: planner-in-the-loop under batch sharding —
+    constraint blocks evaluated waypoint-sharded with a psum-reduced penalty
+    total, certification batches through the sharded checker (8 virtual CPU
+    devices, see conftest)."""
+
+    def test_sqp_sharded_certifies_and_matches(self):
+        import jax
+
+        from robocheck_tpu.models.shapes import box, icosphere
+        from robocheck_tpu.parallel.sharding import ShardedChecker, make_mesh
+        from robocheck_tpu.planner.sqp import SQPConfig, SQPOptimizer
+
+        if len(jax.devices()) < 2:
+            import pytest
+
+            pytest.skip("needs a multi-device mesh")
+        robot = box(extent=(0.3, 0.3, 0.3), name="robot")
+        obstacle = icosphere(1, radius=0.6, name="ball")
+        cfg = SQPConfig(num_waypoints=16, max_outer=6, max_penalty_rounds=2,
+                        subproblem_iters=30, grid_resolution=24,
+                        num_surface_samples=64, seed=5)
+        start = np.array([-2.0, 0, 0, 0, 0, 0], np.float32)
+        goal = np.array([2.0, 0, 0, 0, 0, 0], np.float32)
+
+        mesh = make_mesh()
+        opt_s = SQPOptimizer(robot, obstacle, cfg, interpret=True, mesh=mesh)
+        assert isinstance(opt_s.checker, ShardedChecker)
+        res_s = opt_s.plan(start, goal)
+        assert res_s.certified
+
+        # The sharded constraint evaluation computes the same residual
+        # blocks as the single-device path up to compilation differences
+        # (XLA fuses the per-shard vmap differently from the full-batch
+        # vmap, so values agree to f32 roundoff, not bit-exactly — unlike
+        # the collision kernel, whose sharded twin IS bit-exact).
+        opt_1 = SQPOptimizer(robot, obstacle, cfg, interpret=True,
+                             grid=opt_s.grid)
+        q = jnp.asarray(res_s.trajectory)
+        g_s, J_s, tot_s = opt_s._constraint_blocks(q)
+        g_1, J_1, tot_1 = opt_1._constraint_blocks(q)
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_1),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(J_s), np.asarray(J_1),
+                                   rtol=2e-4, atol=1e-5)
+        assert abs(tot_s - tot_1) < 1e-4 * max(1.0, abs(tot_1))
