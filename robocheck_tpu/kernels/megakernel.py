@@ -330,18 +330,18 @@ def _rob_any_words(num_rob_tiles: int) -> int:
     return (num_rob_tiles + _GATE_WORD_BITS - 1) // _GATE_WORD_BITS
 
 
-# First gate-word column in misc: col 0 broad flag, 1..3 hot summary words,
-# 4..6 cold summary words, 7 always-zero (the profiling probes'
-# runtime-false source), 8 best-tile code (argmax rc*cc, 0 = none),
-# 9..15 spare.
-_GATE_BASE = 16
+# misc header layout (fixed LANE cols): col 0 broad flag, 1..3 hot summary
+# words, 4..6 cold summary words, 7 always-zero (the profiling probes'
+# runtime-false source), 8 best-tile code (argmax rc*cc, 0 = none), rest
+# spare. Gate words live in their OWN scratch (`gates_scr`) so misc rows
+# stay exactly 128 lanes: Mosaic cannot lower dynamic-sublane scalar loads
+# from wider rows ("dynamic load with unaligned indices" on [32, 256]).
 
 
-def _misc_cols(num_rob_tiles: int, num_obs_tiles: int) -> int:
-    # Header (_GATE_BASE cols), then hot gate words followed by cold gate
-    # words.
+def _gate_cols(num_rob_tiles: int, num_obs_tiles: int) -> int:
+    # Hot gate words followed by cold gate words, lane-padded.
     return round_up(
-        _GATE_BASE + 2 * num_rob_tiles * _gate_words(num_obs_tiles), LANE)
+        max(2 * num_rob_tiles * _gate_words(num_obs_tiles), 1), LANE)
 
 
 # Obstacle rows per SLAB — the cold pass's dispatch granularity. Measured on
@@ -384,9 +384,10 @@ def _kernel(
     obs_sub_ref,  # VMEM [To/_SLAB, 8] per-slab obstacle AABBs (lo3, hi3)
     out_ref,  # VMEM [CONFS_PER_PROGRAM, 128] int32
     rob_d,  # VMEM scratch [CONFS_PER_PROGRAM, 24, Tr]
-    misc,  # VMEM scratch [CONFS_PER_PROGRAM, 128] f32:
-    #        col 0 = broad flag; col 8+i = obstacle-tile gate bitmask for
-    #        robot tile i (float-encoded small int).
+    misc,  # VMEM scratch [CONFS_PER_PROGRAM, LANE] f32 header: col 0 =
+    #        broad flag, 1..6 summaries, 7 probe zero, 8 best-tile code.
+    gates_scr,  # VMEM scratch [CONFS_PER_PROGRAM, _gate_cols] f32:
+    #        hot gate words then cold gate words (float-encoded ints).
     slab_scr,  # VMEM scratch [_slab_scr_rows, LANE] f32: per-config slab
     #        candidate words (overwritten config to config) + final sums.
     *,
@@ -525,13 +526,19 @@ def _kernel(
         # has any hot/cold gate bit") land in cols 1..3 (hot) and 4..6
         # (cold).
         misc_val = broad_col
+        gcol = jax.lax.broadcasted_iota(
+            jnp.int32, (CONFS_PER_PROGRAM, gates_scr.shape[-1]), 1
+        )
+        gates_val = jnp.zeros(
+            (CONFS_PER_PROGRAM, gates_scr.shape[-1]), jnp.float32
+        )
         r_words = _rob_any_words(num_rob_tiles)
         rob_any_h = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
                      for _ in range(r_words)]
         rob_any_c = [jnp.zeros((CONFS_PER_PROGRAM, 1), jnp.float32)
                      for _ in range(r_words)]
         thresh = jnp.float32(hot_thresh)
-        cold_base = _GATE_BASE + num_rob_tiles * n_words
+        cold_base = num_rob_tiles * n_words
 
         # First sweep over robot tiles: per-tile obstacle counts (the
         # expensive [CPB, To] compares + matmul, done once and kept — each
@@ -626,15 +633,16 @@ def _kernel(
                     jnp.float32
                 ) * jnp.float32(1 << bi)
             for w in range(n_words):
-                misc_val = jnp.where(col == _GATE_BASE + i * n_words + w,
-                                     words_h[w], misc_val)
-                misc_val = jnp.where(col == cold_base + i * n_words + w,
-                                     words_c[w], misc_val)
+                gates_val = jnp.where(gcol == i * n_words + w,
+                                      words_h[w], gates_val)
+                gates_val = jnp.where(gcol == cold_base + i * n_words + w,
+                                      words_c[w], gates_val)
         for w in range(r_words):
             misc_val = jnp.where(col == 1 + w, rob_any_h[w], misc_val)
             misc_val = jnp.where(col == 4 + w, rob_any_c[w], misc_val)
         misc_val = jnp.where(col == 8, best_code, misc_val)
         misc[...] = misc_val
+        gates_scr[...] = gates_val
 
     # ---- Stage 2+3 per configuration: gated tile sweep. ----
     # sweep=False is a profiling knob (scripts/roofline.py): stage 1 +
@@ -643,7 +651,7 @@ def _kernel(
         if sweep:
             _one_config(
                 cc, obs_grp_ref, rob_base_ref, obs_t_ref, obs_sub_ref,
-                out_ref, rob_d, misc, slab_scr,
+                out_ref, rob_d, misc, gates_scr, slab_scr,
                 num_rob_tiles=num_rob_tiles,
                 num_obs_tiles=num_obs_tiles, rob_tile=rob_tile,
                 obs_tile=obs_tile, inner_exit=inner_exit, stats=stats,
@@ -675,7 +683,7 @@ def _kernel(
 
 def _one_config(
     cc, obs_grp_ref, rob_base_ref, obs_t_ref, obs_sub_ref, out_ref, rob_d,
-    misc, slab_scr,
+    misc, gates_scr, slab_scr,
     *, num_rob_tiles: int, num_obs_tiles: int, rob_tile: int = LANE,
     obs_tile: int = LANE, inner_exit: bool = True, stats: bool = True,
     stage_cap: int = 2, slab_sweep: bool = False, best_first: bool = True,
@@ -709,7 +717,7 @@ def _one_config(
             def branch():
                 base = base0 + i0 * n_words
                 return tuple(
-                    misc[pl.ds(cc, 1), base + w : base + w + 1][0, 0]
+                    gates_scr[pl.ds(cc, 1), base + w : base + w + 1][0, 0]
                     .astype(jnp.int32)
                     for w in range(n_words)
                 )
@@ -857,7 +865,7 @@ def _one_config(
                                            (words[w], carry2))
         return carry2
 
-    cold_base = _GATE_BASE + num_rob_tiles * n_words
+    cold_base = num_rob_tiles * n_words
 
     def sweep_pass(carry, summary_col, base0):
         """Per-tile exact flow over one gate-word set (hot or cold), with
@@ -1078,7 +1086,7 @@ def _one_config(
                                  zero_carry)
         else:
             carry = zero_carry
-        carry = sweep_pass(carry, 1, _GATE_BASE)  # hot
+        carry = sweep_pass(carry, 1, 0)  # hot
         if stats or not slab_sweep:
             return sweep_pass(carry, 4, cold_base)
         return jax.lax.cond(carry[0], lambda c: c, cold_slab, carry)
@@ -1220,10 +1228,22 @@ class MegaKernelPrep:
                 f"dispatch) or ops.pipeline.CollisionWorld"
             )
         # Robot-tile summary words live in misc cols 1..3 (hot) and 4..6
-        # (cold); col 0 = broad flag, col 7 reserved zero, col 8+ = gate
-        # words. The VMEM budget binds first in practice; this is a
+        # (cold); col 0 = broad flag, col 7 reserved zero, col 8 best-tile
+        # code. The VMEM budget binds first in practice; this is a
         # belt-and-braces guard.
         assert _rob_any_words(tr // rob_tile) <= 3, tr
+        # Gate words must fit one 128-lane scratch row: Mosaic cannot lower
+        # dynamic-sublane scalar loads from wider rows. The chunked caps
+        # (2048 robot / 8192 obstacle tris) sit exactly at this bound, so
+        # oversized shapes route to the chunked checker like any other
+        # budget overflow.
+        if 2 * (tr // rob_tile) * _gate_words(to // obs_tile) > LANE:
+            raise VmemBudgetError(
+                f"gate-word table exceeds one scratch row "
+                f"({tr // rob_tile} robot tiles x "
+                f"{_gate_words(to // obs_tile)} words x 2 > {LANE}); use "
+                f"kernels.chunked.make_checker"
+            )
 
         return MegaKernelPrep(
             rob_base=rob_base,
@@ -1282,8 +1302,9 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
         out_shape=jax.ShapeDtypeStruct((b, LANE), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((CONFS_PER_PROGRAM, _R_ROWS, tr), jnp.float32),
+            pltpu.VMEM((CONFS_PER_PROGRAM, LANE), jnp.float32),
             pltpu.VMEM(
-                (CONFS_PER_PROGRAM, _misc_cols(num_rob_tiles, num_obs_tiles)),
+                (CONFS_PER_PROGRAM, _gate_cols(num_rob_tiles, num_obs_tiles)),
                 jnp.float32,
             ),
             pltpu.VMEM(
@@ -1292,9 +1313,10 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
         ],
         # v5e has 128 MB of VMEM; the default 16 MB scoped limit rejects
         # chunked-checker table sizes (2k robot / 8k obstacle triangles)
-        # that comfortably fit.
+        # that comfortably fit. 64 MB: the cap-sized chunk pair's scoped
+        # allocation measured 49.1 MB (stage-1 temporaries, round 4).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(obs_mesh_aabb, obs_group_aabbs, poses, rob_base, obs_t, obs_aabb_rows,

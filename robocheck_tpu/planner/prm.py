@@ -42,12 +42,7 @@ class PRMResult(NamedTuple):
     closest_to_goal: float = float("inf")
 
 
-def _conf_distance(a: np.ndarray, b: np.ndarray, rot_scale: float) -> np.ndarray:
-    d = a - b
-    # Angles wrap; use the wrapped difference.
-    d[..., 3:] = np.arctan2(np.sin(d[..., 3:]), np.cos(d[..., 3:]))
-    w = np.array([1, 1, 1, rot_scale, rot_scale, rot_scale], np.float64)
-    return np.sqrt(((d * w) ** 2).sum(-1))
+from .knn import conf_distance as _conf_distance  # noqa: E402  (shared metric)
 
 
 def _interpolate(a: np.ndarray, b: np.ndarray, steps: int) -> np.ndarray:
@@ -115,25 +110,15 @@ class PRMPlanner:
         n = len(verts)
         confs_checked = len(valid)
 
-        # k-NN candidate edges under the weighted metric, computed in row
-        # chunks (O(n * chunk) memory, argpartition per chunk) — a dense
-        # [n, n] matrix is 3.2 GB at n = 20k and was the layer's scaling
-        # wall.
+        # k-NN candidate edges under the weighted metric via the chord
+        # KD-tree (`planner/knn.py`): O(n log n) instead of the dense
+        # O(n^2) sweep that walled the roadmap at a few thousand samples
+        # (a 100k-sample kNN is ~2 s; the dense sweep was ~10^10 distance
+        # evaluations).
         k = min(cfg.k_neighbors, n - 1)
-        v64 = verts.astype(np.float64)
-        nbrs = np.empty((n, k), np.int64)
-        nbr_d = np.empty((n, k), np.float64)
-        row_chunk = max(1, min(n, (1 << 22) // max(n, 1)))  # ~32 MB rows
-        for s in range(0, n, row_chunk):
-            e = min(s + row_chunk, n)
-            dd = _conf_distance(v64[s:e, None, :], v64[None, :, :],
-                                cfg.rot_scale)  # [rows, n]
-            dd[np.arange(e - s), np.arange(s, e)] = np.inf  # self-distance
-            idx = np.argpartition(dd, k - 1, axis=1)[:, :k]
-            dsel = np.take_along_axis(dd, idx, axis=1)
-            order = np.argsort(dsel, axis=1)
-            nbrs[s:e] = np.take_along_axis(idx, order, axis=1)
-            nbr_d[s:e] = np.take_along_axis(dsel, order, axis=1)
+        from .knn import conf_knn
+
+        nbrs, nbr_d = conf_knn(verts, k, cfg.rot_scale)
         edge_w: dict[tuple[int, int], float] = {}
         for i in range(n):
             for jj, dj in zip(nbrs[i], nbr_d[i]):

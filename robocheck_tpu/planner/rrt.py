@@ -113,13 +113,9 @@ class RRTConnectPlanner:
         return np.concatenate([q[keep_q], q2[keep_q2]], axis=0)
 
     # -- tree ops ----------------------------------------------------------
-    def _nearest(self, nodes, pts):
-        """Index of the nearest tree node for each point (weighted metric)."""
-        d = _conf_distance(nodes[None, :, :].astype(np.float64),
-                           pts[:, None, :].astype(np.float64),
-                           self.rot_scale)
-        # _conf_distance broadcasts [1,N,6] vs [M,1,6] -> [M,N]
-        return np.argmin(d, axis=1), np.min(d, axis=1)
+    # Nearest-neighbor queries go through planner.knn.IncrementalNearest
+    # (chord KD-tree + dense tail): the round-3 dense scan was O(tree * batch)
+    # per EXTEND and walled RRT trees at a few thousand nodes.
 
     def _steer(self, frm, to):
         """Move from `frm` toward `to` by at most `step` (weighted metric,
@@ -146,11 +142,16 @@ class RRTConnectPlanner:
         if not (ev[0] and ev[1]):
             return RRTResult(None, 0, checked[0], 0)
 
-        # Two trees: nodes + parent indices.
-        trees = [
-            {"nodes": start[None].copy(), "parent": np.array([-1])},
-            {"nodes": goal[None].copy(), "parent": np.array([-1])},
-        ]
+        # Two trees: nodes + parent indices + incremental NN index.
+        from .knn import IncrementalNearest
+
+        def new_tree(root):
+            nn = IncrementalNearest(self.rot_scale)
+            nn.add(root[None])
+            return {"nodes": root[None].copy(),
+                    "parent": np.array([-1]), "nn": nn}
+
+        trees = [new_tree(start), new_tree(goal)]
 
         def grow(tree, samples):
             """Batched EXTEND: steer from each sample's nearest node, check
@@ -158,7 +159,7 @@ class RRTConnectPlanner:
             indices of newly added nodes."""
             if not len(samples):
                 return np.empty((0,), np.int64)
-            ni, _ = self._nearest(tree["nodes"], samples)
+            ni, _ = tree["nn"].nearest(samples)
             frm = tree["nodes"][ni]
             new = self._steer(frm, samples)
             segs = np.concatenate(
@@ -167,12 +168,14 @@ class RRTConnectPlanner:
             valid = self.checker.check_valid_resolved(segs)
             checked[0] += len(segs)
             ok = valid.reshape(len(new), cfg.edge_resolution).all(axis=1)
-            added = []
-            for i in np.nonzero(ok)[0]:
-                tree["nodes"] = np.concatenate([tree["nodes"], new[i][None]])
-                tree["parent"] = np.append(tree["parent"], ni[i])
-                added.append(len(tree["nodes"]) - 1)
-            return np.asarray(added, np.int64)
+            keep = np.nonzero(ok)[0]
+            if not len(keep):
+                return np.empty((0,), np.int64)
+            base = len(tree["nodes"])
+            tree["nodes"] = np.concatenate([tree["nodes"], new[keep]])
+            tree["parent"] = np.concatenate([tree["parent"], ni[keep]])
+            tree["nn"].add(new[keep])
+            return base + np.arange(len(keep), dtype=np.int64)
 
         def try_connect(ta, tb, new_idx):
             """Batched CONNECT: for each new node of tree a, if the nearest
@@ -181,7 +184,7 @@ class RRTConnectPlanner:
             if not len(new_idx):
                 return None
             pts = ta["nodes"][new_idx]
-            nj, dj = self._nearest(tb["nodes"], pts)
+            nj, dj = tb["nn"].nearest(pts)
             cand = np.nonzero(dj <= self.connect_radius)[0]
             if not len(cand):
                 return None

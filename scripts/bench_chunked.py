@@ -24,6 +24,10 @@ sys.path.insert(0, str(REPO))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8192)
+    ap.add_argument("--big", action="store_true",
+                    help="both-sides-chunked pair: 20,480-tri robot x "
+                         "20,480-tri obstacle (30 chunk pairs, 419M "
+                         "tri pairs per configuration)")
     args = ap.parse_args()
 
     from robocheck_tpu.runtime.cache import enable_compilation_cache
@@ -39,8 +43,12 @@ def main() -> int:
     )
     from robocheck_tpu.models.shapes import icosphere
 
-    robot = icosphere(1, radius=0.3, name="robot")
-    obstacle = icosphere(6, radius=1.5, name="big-obstacle")  # 81,920 tris
+    if args.big:
+        robot = icosphere(5, radius=0.3, name="robot-20k")  # 20,480 tris
+        obstacle = icosphere(5, radius=1.5, name="obstacle-20k")  # 20,480
+    else:
+        robot = icosphere(1, radius=0.3, name="robot")
+        obstacle = icosphere(6, radius=1.5, name="big-obstacle")  # 81,920 tris
     rng = np.random.default_rng(7)
     # Mix: far misses, near-surface, deep hits.
     confs = np.zeros((args.n, 6), np.float32)

@@ -16,7 +16,7 @@ sys.path.insert(0, str(REPO))
 import numpy as np  # noqa: E402
 
 
-def wall_demo(interpret: bool) -> int:
+def wall_demo(interpret: bool, ccd: bool = False) -> int:
     from robocheck_tpu.models.shapes import box, icosphere
     from robocheck_tpu.planner import PRMConfig, TrajOptConfig, plan_and_smooth
 
@@ -31,7 +31,8 @@ def wall_demo(interpret: bool) -> int:
         prm_config=PRMConfig(num_samples=512, k_neighbors=10,
                              edge_resolution=8),
         opt_config=TrajOptConfig(num_waypoints=24, iters_per_round=150,
-                                 max_rounds=4, margin=0.25),
+                                 max_rounds=4, margin=0.25,
+                                 swept_certify=ccd),
         interpret=interpret,
     )
     dt = time.perf_counter() - t0
@@ -40,14 +41,24 @@ def wall_demo(interpret: bool) -> int:
         return 1
     print(f"planned in {dt:.2f}s: certified={res.certified}, "
           f"rounds={res.rounds}, cost={res.final_cost:.2f}")
+    if ccd and res.swept is not None:
+        sw = res.swept
+        print(f"continuous certificate: certified={sw.certified} "
+              f"(min clearance {sw.min_clearance:.3f} vs method floor "
+              f"{sw.method_floor:.3f}, {sw.num_steps} steps, "
+              f"{sw.num_checks} exact checks)")
     np.set_printoptions(precision=2, suppress=True)
     print("trajectory (x, y, z):")
     print(res.trajectory[:, :3])
+    if ccd:
+        return 0 if (res.certified and res.swept is not None
+                     and res.swept.certified) else 1
     return 0 if res.certified else 1
 
 
 def alpha_demo(interpret: bool, plan: bool = False,
-               samples: int = 4096, rrt: bool = False) -> int:
+               samples: int = 4096, rrt: bool = False,
+               ccd: bool = False) -> int:
     from robocheck_tpu.io import assets
     from robocheck_tpu.io.obj import load_obj
     from robocheck_tpu.io.parasol import read_query
@@ -69,6 +80,22 @@ def alpha_demo(interpret: bool, plan: bool = False,
     dvalid, _ = checker.check_valid(dense)
     print(f"straight-line sweep: {int(dvalid.sum())}/{len(dvalid)} "
           f"samples collision-free")
+    if ccd:
+        # Continuous-certification feasibility report for the alpha query:
+        # the certifier's method floor (covering radius + grid error)
+        # against the scale of the puzzle. The famous narrow passage has
+        # clearance well below any affordable floor — this REPORTS that
+        # measured gap honestly instead of letting a discrete densify
+        # masquerade as a certificate (see README's alpha section).
+        from robocheck_tpu.planner.ccd import SweptCertifier
+
+        for refine, res_ in ((1, 128), (2, 192)):
+            cert = SweptCertifier(robot, obstacle, resolution=res_,
+                                  refine=refine)
+            print(f"  certifier floor (refine={refine}, grid={res_}^3): "
+                  f"r_cov={cert.r_cov:.2f} + e_g={cert.e_g:.2f} = "
+                  f"{cert.floor():.2f} config units "
+                  f"(robot min extent {float((robot.aabb[3:] - robot.aabb[:3]).min()):.1f})")
     if rrt:
         # Bidirectional batched RRT-Connect with Gaussian boundary
         # sampling — the sampling family built for narrow passages, every
@@ -106,7 +133,22 @@ def alpha_demo(interpret: bool, plan: bool = False,
                   + ("" if dv.all() else " -> NOT certified (tunneling)"))
             if not dv.all():
                 return 1
-        print("RRT path certified at 0.1x robot extent")
+        print("RRT path certified at 0.1x robot extent (discrete)")
+        if ccd:
+            from robocheck_tpu.planner.ccd import SweptCertifier
+
+            cert = SweptCertifier(robot, obstacle, resolution=192, refine=2)
+            dense, _ = densify(res.path, step=0.1 * ext)
+            sw = cert.certify(dense, checker)
+            print(f"continuous certificate: certified={sw.certified}, "
+                  f"collision={sw.collision}, min clearance "
+                  f"{sw.min_clearance:.2f} vs floor {sw.method_floor:.2f} "
+                  f"({sw.uncertified_steps} unproven steps)")
+            if not sw.certified and not sw.collision:
+                print("  -> measured gap: the path's conservative "
+                      "clearance never exceeds the certifier floor; a "
+                      "true alpha certificate needs r_cov ~ passage "
+                      "clearance (refine>=4: 258k surface samples).")
         return 0
     if not plan:
         return 0
@@ -175,6 +217,8 @@ def main() -> int:
     ap.add_argument("--plan", action="store_true",
                     help="with --alpha: attempt the puzzle with PRM + SQP")
     ap.add_argument("--samples", type=int, default=4096)
+    ap.add_argument("--ccd", action="store_true",
+                    help="continuous (swept-volume) certification report")
     args = ap.parse_args()
     import jax
 
@@ -184,8 +228,8 @@ def main() -> int:
     interpret = jax.default_backend() != "tpu"
     if args.alpha:
         return alpha_demo(interpret, plan=args.plan, samples=args.samples,
-                          rrt=args.rrt)
-    return wall_demo(interpret)
+                          rrt=args.rrt, ccd=args.ccd)
+    return wall_demo(interpret, ccd=args.ccd)
 
 
 if __name__ == "__main__":
