@@ -122,7 +122,7 @@ class SweptCertifier:
 
     def __init__(self, robot: Mesh, obstacle: Mesh,
                  grid: DistanceGrid | None = None, resolution: int = 96,
-                 refine: int = 0, rot_scale_hint: float = 20.0):
+                 refine: int = 0):
         self.robot = subdivide_mesh(robot, refine) if refine else robot
         self.obstacle = obstacle
         self.grid = grid if grid is not None else build_distance_grid(

@@ -10,16 +10,15 @@ configuration metric
 via a KD-tree on the 9-D CHORD embedding (x, y, z, w cos/sin of each
 angle): chord = 2 sin(|wrap|/2) <= |wrap| <= (pi/2) * chord, so chord
 order approximates arc order; candidates are oversampled in chord space
-and re-ranked with the exact metric. Re-ranking makes the 1-NN exact when
-the oversampled candidate ball provably covers the true neighbor (see
-``query``), and k-NN exact in the same sense; the planners only need
-near-neighbors, so the rare boundary miss is harmless there.
+and re-ranked with the exact metric. The incremental 1-NN is EXACT:
+exact >= chord, so whenever the last fetched candidate's chord distance
+is below the best exact distance found, the (rare) query falls back to a
+dense scan. k-NN is near-exact (candidate-horizon ties only); the
+planners only need near-neighbors there.
 """
 from __future__ import annotations
 
 import numpy as np
-
-_CHORD_TO_ARC = float(np.pi / 2.0)  # arc <= (pi/2) * chord on [0, pi]
 
 
 def _wrap(d: np.ndarray) -> np.ndarray:
@@ -85,9 +84,9 @@ class IncrementalNearest:
     sets: a KD-tree over the chord embedding, rebuilt amortized (when the
     un-indexed tail outgrows a fraction of the tree), with the tail scanned
     densely. Queries oversample in chord space and re-rank with the exact
-    metric; the chord->arc bound (arc <= pi/2 * chord) is used to keep the
-    result exact: candidates are fetched until the chord lower bound of the
-    next candidate exceeds the best exact distance found.
+    metric; exactness holds because exact >= chord, so a dense fallback
+    runs for any query whose last fetched candidate's chord distance is
+    still below the best exact distance found.
     """
 
     def __init__(self, rot_scale: float, rebuild_frac: float = 0.25):
@@ -140,14 +139,15 @@ class IncrementalNearest:
             j = np.argmin(d, axis=1)
             best_d = d[np.arange(m), j]
             best_i = idx[np.arange(m), j].astype(np.int64)
-            # Exactness check: if the chord distance of the LAST fetched
-            # candidate (a lower bound on everything beyond it, and
-            # arc <= pi/2 * chord) could still beat the best exact
-            # distance, fall back to a dense scan of the tree range for
-            # those queries (rare: k_cand=8 almost always covers).
+            # Exactness check: every un-fetched node has chord distance
+            # >= dd[:, -1], and exact >= chord, so only when
+            # dd[:, -1] < best_d could an un-fetched node still beat the
+            # best exact distance — dense-scan the tree range for those
+            # queries (rare: k_cand=8 almost always covers). An earlier
+            # version scaled the bound by pi/2 (the wrong direction) and
+            # could return a non-nearest node.
             risky = np.nonzero(
-                (kq < self._tree_n)
-                & (dd[:, -1] * _CHORD_TO_ARC < best_d)
+                (kq < self._tree_n) & (dd[:, -1] < best_d)
             )[0]
             for q in risky:
                 d_all = conf_distance(

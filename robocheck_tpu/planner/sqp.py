@@ -293,10 +293,12 @@ class SQPOptimizer:
         for rnd in range(start_round, cfg.max_penalty_rounds):
             for _ in range(cfg.max_outer):
                 outer += 1
-                g0, J, _ = self._constraint_blocks(qj)
+                g0, J, tot = self._constraint_blocks(qj)
                 dq = self._solve_subproblem(qj, g0, J, jnp.float32(mu),
                                             jnp.float32(delta))
-                merit_old = self._merit(qj, mu)
+                # merit(qj) reuses the penalty total the block evaluation
+                # already (psum-)reduced — no second residual pass.
+                merit_old = float(self._smooth_cost(qj)) + mu * tot
                 merit_new = self._merit(qj + dq, mu)
                 if merit_new < merit_old - 1e-9:
                     qj = qj + dq

@@ -279,10 +279,14 @@ class TrajectoryOptimizer:
         from .ccd import SweptCertifier
 
         if not hasattr(self, "_swept_cert"):
-            # Reuse the optimizer's distance grid only if it is fine enough
-            # to be a useful bound; the certifier default (96^3) usually is.
+            # Reuse the optimizer's distance grid when it is at least as
+            # fine as the certifier default (96^3): the certificate's
+            # grid-error term comes from the actual grid spacing either
+            # way, so any grid is sound — a finer one is just tighter.
+            grid = self.grid if self.cfg.grid_resolution >= 96 else None
             self._swept_cert = SweptCertifier(
-                self.robot, self.obstacle, refine=self.cfg.swept_refine,
+                self.robot, self.obstacle, grid=grid,
+                refine=self.cfg.swept_refine,
             )
         return self._swept_cert
 

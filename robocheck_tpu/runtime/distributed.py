@@ -48,7 +48,10 @@ def initialize_from_env() -> None:
             process_id=int(pid),
         )
     except RuntimeError as e:
-        if "already" not in str(e).lower():
+        # jax's double-init message is "distributed.initialize should only
+        # be called once."; be liberal about phrasing across releases.
+        msg = str(e).lower()
+        if "once" not in msg and "already" not in msg:
             raise
 
 

@@ -78,7 +78,7 @@ def main() -> int:
         rt, ot, ie = parts[:3]
         cap = parts[3] if len(parts) > 3 else 2
         hot = float(parts[4]) if len(parts) > 4 else 1024.0
-        slab = bool(parts[5]) if len(parts) > 5 else True
+        slab = bool(parts[5]) if len(parts) > 5 else False
         t0 = time.perf_counter()
         ck = mk.MegaKernelChecker(robot, obstacle, interpret=interpret,
                                   rob_tile=rt, obs_tile=ot)

@@ -64,6 +64,28 @@ def test_incremental_nearest_exact():
         np.testing.assert_allclose(gd, bd, rtol=1e-9, atol=1e-12)
 
 
+def test_incremental_nearest_chord_gap_regression():
+    # Regression for the exactness-fallback direction: chord is a LOWER
+    # bound on exact distance, so the dense fallback must trigger whenever
+    # the last fetched candidate's chord distance is below the best exact
+    # distance. Construction: 20 rotation-only nodes at exact distance 0.9
+    # (chord 2*sin(0.45) ~= 0.870) crowd out the k_cand=8 candidate list,
+    # while one translation-only node at exact distance 0.88 (chord 0.88)
+    # is never fetched. An earlier version scaled the bound by pi/2 and
+    # returned the 0.9 node.
+    nn = IncrementalNearest(rot_scale=1.0)
+    nodes = np.zeros((21, 6), np.float32)
+    nodes[:20, 3] = 0.9  # rotation-only
+    nodes[20, 0] = 0.88  # translation-only: the true nearest
+    nn.add(nodes)
+    # Force everything into the tree (no dense tail).
+    assert nn._tree_n == 21
+    q = np.zeros((1, 6), np.float32)
+    gi, gd = nn.nearest(q)
+    assert gi[0] == 20
+    np.testing.assert_allclose(gd[0], 0.88, rtol=1e-6)
+
+
 def test_knn_scales_to_roadmap_sizes():
     # The round-3 dense sweep was ~10^10 distance evals at 100k samples;
     # the KD path must do 50k in seconds (loose wall-clock bound so slow
