@@ -45,6 +45,25 @@ class PRMResult(NamedTuple):
 from .knn import conf_distance as _conf_distance  # noqa: E402  (shared metric)
 
 
+def unwrap_path(path: np.ndarray) -> np.ndarray:
+    """Make a waypoint path's angle coordinates CONTINUOUS: each
+    consecutive difference is replaced by its shortest-arc equivalent, so
+    linear interpolation of the returned path follows the same motion the
+    planner validated with shortest-arc interpolation. Without this, a
+    path whose raw angles jump across the +/-pi seam (e.g. an RRT connect
+    between nodes at yaw 3.1 and -3.1) denotes the SHORT way to the
+    planner but the LONG way to any linear consumer (`densify`,
+    `resample`, the trajectory optimizers) — the round-4 alpha
+    "tunneling" at 0.5x densification was exactly this inconsistency,
+    not tunneling. Angles in the result may leave [-pi, pi]; every
+    consumer (rotation matrices, checkers) is periodic."""
+    p = np.asarray(path, np.float64).copy()
+    d = p[1:, 3:6] - p[:-1, 3:6]
+    d = np.arctan2(np.sin(d), np.cos(d))
+    p[1:, 3:6] = p[0, 3:6] + np.cumsum(d, axis=0)
+    return p.astype(np.float32)
+
+
 def _interpolate(a: np.ndarray, b: np.ndarray, steps: int) -> np.ndarray:
     """Linear in translation, shortest-arc linear in each angle."""
     t = np.linspace(0.0, 1.0, steps)[:, None]
@@ -171,5 +190,5 @@ class PRMPlanner:
         path_idx = [1]
         while path_idx[-1] != 0:
             path_idx.append(prev[path_idx[-1]])
-        path = verts[path_idx[::-1]]
+        path = unwrap_path(verts[path_idx[::-1]])
         return PRMResult(path, n, len(edges), confs_checked, 0.0)

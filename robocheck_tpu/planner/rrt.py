@@ -29,7 +29,7 @@ from typing import NamedTuple
 import numpy as np
 
 from ..core.types import Mesh
-from .prm import _conf_distance, _interpolate
+from .prm import _conf_distance, _interpolate, unwrap_path
 
 
 @dataclasses.dataclass(frozen=True)
@@ -234,6 +234,10 @@ class RRTConnectPlanner:
                 path = np.asarray(half_a + half_b, np.float32)
                 if a == 1:  # tree 0 is the start tree
                     path = path[::-1].copy()
+                # Angle-continuous output: linear interpolation of the
+                # returned path must follow the shortest-arc motion the
+                # tree edges were validated on (see prm.unwrap_path).
+                path = unwrap_path(path)
                 n_nodes = len(trees[0]["nodes"]) + len(trees[1]["nodes"])
                 return RRTResult(path, n_nodes, checked[0], it)
 

@@ -146,9 +146,11 @@ def alpha_demo(interpret: bool, plan: bool = False,
                   f"({sw.uncertified_steps} unproven steps)")
             if not sw.certified and not sw.collision:
                 print("  -> measured gap: the path's conservative "
-                      "clearance never exceeds the certifier floor; a "
-                      "true alpha certificate needs r_cov ~ passage "
-                      "clearance (refine>=4: 258k surface samples).")
+                      "clearance never exceeds the certifier floor "
+                      "(sampled surface distance ~0.3 config units in "
+                      "the passage); a true alpha certificate needs "
+                      "r_cov below that — refine>=6 (1M+ surface "
+                      "samples) plus a ~512^3 grid.")
         return 0
     if not plan:
         return 0

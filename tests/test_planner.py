@@ -332,3 +332,30 @@ class TestShardedPlanner:
         np.testing.assert_allclose(np.asarray(J_s), np.asarray(J_1),
                                    rtol=2e-4, atol=1e-5)
         assert abs(tot_s - tot_1) < 1e-4 * max(1.0, abs(tot_1))
+
+
+def test_unwrap_path_matches_shortest_arc():
+    # A path crossing the +/-pi seam: linear interpolation of the raw
+    # waypoints takes the LONG way (what densify would check), while the
+    # planner validated the short way. unwrap_path makes them identical.
+    from robocheck_tpu.planner.prm import _interpolate, unwrap_path
+    from robocheck_tpu.planner.trajopt import densify
+
+    path = np.zeros((3, 6), np.float32)
+    path[0, 3] = 3.1
+    path[1, 3] = -3.1  # shortest arc: +0.18, linear: -6.2
+    path[2, 3] = -2.9
+    un = unwrap_path(path)
+    # Continuous angles, same rotations at the waypoints (mod 2pi).
+    d = np.diff(un[:, 3])
+    assert np.abs(d).max() < np.pi
+    np.testing.assert_allclose(np.sin(un[:, 3]), np.sin(path[:, 3]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.cos(un[:, 3]), np.cos(path[:, 3]),
+                               atol=1e-6)
+    # densify (linear) of the unwrapped path stays on the short arc: its
+    # midpoint sits near pi, not near 0 (where the linear path through the
+    # RAW waypoints would go).
+    dense, _ = densify(un[:2], step=0.01, rot_scale=1.0)
+    mid = dense[len(dense) // 2, 3]
+    assert abs(abs(mid) - np.pi) < 0.2
