@@ -58,7 +58,7 @@ def wall_demo(interpret: bool, ccd: bool = False) -> int:
 
 def alpha_demo(interpret: bool, plan: bool = False,
                samples: int = 4096, rrt: bool = False,
-               ccd: bool = False) -> int:
+               ccd: bool = False, smooth: bool = False) -> int:
     from robocheck_tpu.io import assets
     from robocheck_tpu.io.obj import load_obj
     from robocheck_tpu.io.parasol import read_query
@@ -134,6 +134,34 @@ def alpha_demo(interpret: bool, plan: bool = False,
             if not dv.all():
                 return 1
         print("RRT path certified at 0.1x robot extent (discrete)")
+        if smooth:
+            # Planner-in-the-loop on the real workload: SQP smooths the
+            # certified RRT path under the SDF proxy; the exact checker
+            # re-certifies at the same fine step (guarantees from the
+            # checker, never the proxy).
+            from robocheck_tpu.planner import SQPConfig, SQPOptimizer
+            from robocheck_tpu.planner.trajopt import resample
+
+            t0 = _time.perf_counter()
+            opt = SQPOptimizer(
+                robot, obstacle,
+                SQPConfig(num_waypoints=48, max_outer=12,
+                          max_penalty_rounds=3, grid_resolution=96,
+                          margin=1.0, certify_step=0.1 * ext),
+                checker=checker,
+            )
+            init = resample(res.path, 48, opt.cfg.rot_scale)
+            sres = opt.plan(query[0], query[1], init=init)
+            dt = _time.perf_counter() - t0
+            print(f"SQP smoothing: certified={sres.certified} after "
+                  f"{sres.outer_iters} outer iterations in {dt:.1f}s "
+                  f"(merit {sres.merit:.1f})")
+            if not sres.certified:
+                print("  -> keeping the certified RRT path: the SDF "
+                      "proxy's grid cells (~0.5 config units at 96^3) "
+                      "cannot represent the ~0.3-unit passage clearance, "
+                      "so gradient smoothing pushes out of the passage — "
+                      "guarantees stay with the exact checker.")
         if ccd:
             from robocheck_tpu.planner.ccd import SweptCertifier
 
@@ -221,6 +249,8 @@ def main() -> int:
     ap.add_argument("--samples", type=int, default=4096)
     ap.add_argument("--ccd", action="store_true",
                     help="continuous (swept-volume) certification report")
+    ap.add_argument("--smooth", action="store_true",
+                    help="with --alpha --rrt: SQP-smooth + re-certify")
     args = ap.parse_args()
     import jax
 
@@ -230,7 +260,7 @@ def main() -> int:
     interpret = jax.default_backend() != "tpu"
     if args.alpha:
         return alpha_demo(interpret, plan=args.plan, samples=args.samples,
-                          rrt=args.rrt, ccd=args.ccd)
+                          rrt=args.rrt, ccd=args.ccd, smooth=args.smooth)
     return wall_demo(interpret, ccd=args.ccd)
 
 
