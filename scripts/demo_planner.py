@@ -215,6 +215,7 @@ def alpha_demo(interpret: bool, plan: bool = False,
     # is a tunneling artifact, and the exact checker is cheap enough to say
     # so directly.
     ext = float((robot.aabb[3:] - robot.aabb[:3]).min())
+    prm_certified = True
     for frac in (0.5, 0.1):
         dense, _ = densify(res.path, step=frac * ext)
         dv, _ = checker.check_valid(dense)
@@ -223,6 +224,7 @@ def alpha_demo(interpret: bool, plan: bool = False,
               f"{int(dv.sum())}/{len(dv)} collision-free"
               + ("" if dv.all() else " -> NOT certified (tunneling)"))
         if not dv.all():
+            prm_certified = False
             break
     print("smoothing with SQP...")
     from robocheck_tpu.planner import SQPConfig, SQPOptimizer
@@ -236,7 +238,11 @@ def alpha_demo(interpret: bool, plan: bool = False,
     sres = opt.plan(query[0], query[1], init=init)
     print(f"SQP: certified={sres.certified} after {sres.outer_iters} "
           f"outer iterations, merit={sres.merit:.3f}")
-    return 0 if sres.certified else 1
+    if prm_certified and not sres.certified:
+        print("  -> keeping the certified PRM path (the SDF proxy cannot "
+              "represent the sub-grid-cell passage clearance; guarantees "
+              "stay with the exact checker)")
+    return 0 if (sres.certified or prm_certified) else 1
 
 
 def main() -> int:
