@@ -362,7 +362,134 @@ inline bool box_overlap(const double alo[3], const double ahi[3],
            blo[1] > ahi[1] || alo[2] > bhi[2] || blo[2] > ahi[2]);
 }
 
+// Squared distance from a point to an axis-aligned box (0 inside).
+inline double box_dist2(const Vec3& p, const double lo[3], const double hi[3]) {
+  double d2 = 0;
+  double dx = p.x < lo[0] ? lo[0] - p.x : (p.x > hi[0] ? p.x - hi[0] : 0);
+  double dy = p.y < lo[1] ? lo[1] - p.y : (p.y > hi[1] ? p.y - hi[1] : 0);
+  double dz = p.z < lo[2] ? lo[2] - p.z : (p.z > hi[2] ? p.z - hi[2] : 0);
+  d2 = dx * dx + dy * dy + dz * dz;
+  return d2;
+}
+
+// Exact point-to-triangle squared distance (Ericson, Real-Time Collision
+// Detection 5.1.5) — the scalar twin of `planner/sdf.py`'s branch-free form.
+inline double point_tri_dist2(const Vec3& p, const Vec3& a, const Vec3& b,
+                              const Vec3& c) {
+  Vec3 ab = sub(b, a), ac = sub(c, a), ap = sub(p, a);
+  double d1 = dot(ab, ap), d2 = dot(ac, ap);
+  if (d1 <= 0 && d2 <= 0) {
+    return dot(ap, ap);
+  }
+  Vec3 bp = sub(p, b);
+  double d3 = dot(ab, bp), d4 = dot(ac, bp);
+  if (d3 >= 0 && d4 <= d3) {
+    return dot(bp, bp);
+  }
+  double vc = d1 * d4 - d3 * d2;
+  if (vc <= 0 && d1 >= 0 && d3 <= 0) {
+    double v = d1 / (d1 - d3);
+    Vec3 q = {a.x + v * ab.x, a.y + v * ab.y, a.z + v * ab.z};
+    Vec3 d = sub(p, q);
+    return dot(d, d);
+  }
+  Vec3 cp = sub(p, c);
+  double d5 = dot(ab, cp), d6 = dot(ac, cp);
+  if (d6 >= 0 && d5 <= d6) {
+    return dot(cp, cp);
+  }
+  double vb = d5 * d2 - d1 * d6;
+  if (vb <= 0 && d2 >= 0 && d6 <= 0) {
+    double w = d2 / (d2 - d6);
+    Vec3 q = {a.x + w * ac.x, a.y + w * ac.y, a.z + w * ac.z};
+    Vec3 d = sub(p, q);
+    return dot(d, d);
+  }
+  double va = d3 * d6 - d5 * d4;
+  if (va <= 0 && (d4 - d3) >= 0 && (d5 - d6) >= 0) {
+    double w = (d4 - d3) / ((d4 - d3) + (d5 - d6));
+    Vec3 bc = sub(c, b);
+    Vec3 q = {b.x + w * bc.x, b.y + w * bc.y, b.z + w * bc.z};
+    Vec3 d = sub(p, q);
+    return dot(d, d);
+  }
+  double denom = 1.0 / (va + vb + vc);
+  double v = vb * denom, w = vc * denom;
+  Vec3 q = {a.x + v * ab.x + w * ac.x, a.y + v * ab.y + w * ac.y,
+            a.z + v * ab.z + w * ac.z};
+  Vec3 d = sub(p, q);
+  return dot(d, d);
+}
+
 }  // namespace
+
+// Exact min distance from each query point to a triangle mesh's SURFACE
+// (unsigned). BVH best-first descent with box-distance pruning: the
+// distance-query half of FCL's API the boolean oracle lacked
+// (`fcl::distance`; the reference only ever calls `fcl::collide`,
+// `Utils.cu:139-160` — this exceeds it). Arrays row-major:
+//   verts [nv,3] f64, tris [nt,3] i32, points [np,3] f64, out [np] f64.
+// Returns number of points processed.
+int64_t rc_point_mesh_dist(const double* verts, const int32_t* tris,
+                           int64_t nv, int64_t nt, const double* points,
+                           int64_t np, double* out_dist) {
+  (void)nv;
+  std::vector<Vec3> c(nt * 3);
+  std::vector<double> lo(nt * 3), hi(nt * 3);
+  for (int64_t t = 0; t < nt; ++t) {
+    for (int k = 0; k < 3; ++k) {
+      const double* v = verts + (int64_t)tris[t * 3 + k] * 3;
+      c[t * 3 + k] = {v[0], v[1], v[2]};
+    }
+    for (int ax = 0; ax < 3; ++ax) {
+      double a = comp(c[t * 3 + 0], ax), b = comp(c[t * 3 + 1], ax),
+             d = comp(c[t * 3 + 2], ax);
+      lo[t * 3 + ax] = std::fmin(a, std::fmin(b, d));
+      hi[t * 3 + ax] = std::fmax(a, std::fmax(b, d));
+    }
+  }
+  Bvh bvh;
+  bvh.build(lo.data(), hi.data(), nt);
+  if (bvh.empty()) {
+    for (int64_t i = 0; i < np; ++i) out_dist[i] = 1e300;
+    return np;
+  }
+  std::vector<int32_t> stack;
+  stack.reserve(128);
+  for (int64_t i = 0; i < np; ++i) {
+    Vec3 p = {points[i * 3], points[i * 3 + 1], points[i * 3 + 2]};
+    double best2 = 1e300;
+    stack.clear();
+    stack.push_back(0);
+    while (!stack.empty()) {
+      int32_t ni = stack.back();
+      stack.pop_back();
+      const BvhNode& node = bvh.nodes[ni];
+      if (box_dist2(p, node.lo, node.hi) >= best2) continue;
+      if (node.right == -1) {
+        for (int32_t s = node.start; s < node.start + node.count; ++s) {
+          int32_t t = bvh.order[s];
+          double d2 = point_tri_dist2(p, c[t * 3], c[t * 3 + 1], c[t * 3 + 2]);
+          if (d2 < best2) best2 = d2;
+        }
+      } else {
+        // Nearer child last (popped first).
+        int32_t l = ni + 1, r = node.right;
+        double dl = box_dist2(p, bvh.nodes[l].lo, bvh.nodes[l].hi);
+        double dr = box_dist2(p, bvh.nodes[r].lo, bvh.nodes[r].hi);
+        if (dl < dr) {
+          stack.push_back(r);
+          stack.push_back(l);
+        } else {
+          stack.push_back(l);
+          stack.push_back(r);
+        }
+      }
+    }
+    out_dist[i] = std::sqrt(best2);
+  }
+  return np;
+}
 
 // Oracle over a batch of configurations. Arrays are row-major:
 //   rob_verts [nrv,3] f64, rob_tris [nrt,3] i32, obs_verts/tris likewise,

@@ -73,26 +73,27 @@ def covering_radius(mesh: Mesh) -> float:
 def subdivide_mesh(mesh: Mesh, levels: int = 1) -> Mesh:
     """Loop-topology 1->4 triangle subdivision (midpoint, no smoothing):
     same surface, 4x triangles per level — shrinks ``covering_radius`` 2x
-    per level, tightening the certificate floor at sampling cost."""
+    per level, tightening the certificate floor at sampling cost.
+    Vectorized (np.unique edge dedup), so refine-7 robots (16.5M
+    triangles, the scale a razor-thin passage certificate needs) build in
+    seconds instead of minutes of Python loops."""
     v = mesh.vertices.astype(np.float64)
     f = mesh.triangles.astype(np.int64)
     for _ in range(levels):
-        edges = {}
-        verts = list(v)
-
-        def mid(a, b):
-            key = (min(a, b), max(a, b))
-            if key not in edges:
-                edges[key] = len(verts)
-                verts.append((v[a] + v[b]) / 2.0)
-            return edges[key]
-
-        nf = []
-        for a, b, c in f:
-            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
-            nf += [[a, ab, ca], [ab, b, bc], [ca, bc, c], [ab, bc, ca]]
-        v = np.asarray(verts)
-        f = np.asarray(nf, dtype=np.int64)
+        t = len(f)
+        e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+        e = np.sort(e, axis=1)
+        uniq, inv = np.unique(e, axis=0, return_inverse=True)
+        mid_idx = len(v) + inv  # [3T] midpoint vertex index per edge slot
+        v = np.concatenate([v, (v[uniq[:, 0]] + v[uniq[:, 1]]) / 2.0])
+        ab, bc, ca = mid_idx[:t], mid_idx[t : 2 * t], mid_idx[2 * t :]
+        a, b, c = f[:, 0], f[:, 1], f[:, 2]
+        f = np.concatenate([
+            np.stack([a, ab, ca], axis=1),
+            np.stack([ab, b, bc], axis=1),
+            np.stack([ca, bc, c], axis=1),
+            np.stack([ab, bc, ca], axis=1),
+        ])
     return Mesh(v.astype(np.float32), f.astype(np.int32),
                 name=f"{mesh.name}/sub")
 
@@ -108,6 +109,10 @@ class SweptCertificate:
     min_clearance: float  # worst conservative surface clearance seen
     method_floor: float  # e_g + r_cov: clearances below this can't certify
     uncertified_steps: int  # steps still unproven at max depth
+    # Final (subdivided) path and per-step proof mask — lets a coarser
+    # certifier hand its unproven segments to a finer one (certify_multires).
+    path: np.ndarray | None = None
+    step_ok: np.ndarray | None = None
 
 
 class SweptCertifier:
@@ -122,28 +127,49 @@ class SweptCertifier:
 
     def __init__(self, robot: Mesh, obstacle: Mesh,
                  grid: DistanceGrid | None = None, resolution: int = 96,
-                 refine: int = 0):
+                 refine: int = 0, exact: bool = False):
         self.robot = subdivide_mesh(robot, refine) if refine else robot
         self.obstacle = obstacle
-        self.grid = grid if grid is not None else build_distance_grid(
-            obstacle, resolution
-        )
+        self.exact = exact
         self.r_cov = covering_radius(self.robot)
         self.r_max = float(
             np.linalg.norm(self.robot.vertices.astype(np.float64), axis=1).max()
         )
-        # Conservative trilinear error: full cell diagonal (true distance is
-        # 1-Lipschitz; a trilinear value mixes the cell's 8 corner nodes).
-        self.e_g = float(np.linalg.norm(np.asarray(self.grid.spacing)))
+        if exact:
+            # Exact surface distances via the native BVH point-to-mesh
+            # query (`runtime/native.rc_point_mesh_dist`): no grid, no
+            # interpolation error — the method floor drops to r_cov alone,
+            # which is what makes sub-grid-cell clearances certifiable.
+            from ..runtime import native as _native
+
+            if not _native.available():
+                raise RuntimeError(
+                    "exact clearance needs the native library "
+                    "(make -C native)")
+            self.grid = None
+            self.e_g = 0.0
+            self._native = _native
+            self._obs_v = np.ascontiguousarray(
+                obstacle.vertices, dtype=np.float64)
+            self._obs_t = np.ascontiguousarray(
+                obstacle.triangles, dtype=np.int32)
+        else:
+            self.grid = grid if grid is not None else build_distance_grid(
+                obstacle, resolution
+            )
+            # Conservative trilinear error: full cell diagonal (true
+            # distance is 1-Lipschitz; a trilinear value mixes the cell's
+            # 8 corner nodes).
+            self.e_g = float(np.linalg.norm(np.asarray(self.grid.spacing)))
+            # Grid domain for the in-domain test.
+            origin = np.asarray(self.grid.origin, dtype=np.float64)
+            shape = np.asarray(self.grid.values.shape, dtype=np.float64)
+            spacing = np.asarray(self.grid.spacing, dtype=np.float64)
+            self._dom_lo = origin
+            self._dom_hi = origin + (shape - 1.0) * spacing
         self._verts = jnp.asarray(self.robot.vertices.astype(np.float32))
         self._obs_lo = obstacle.aabb[:3].astype(np.float64)
         self._obs_hi = obstacle.aabb[3:].astype(np.float64)
-        # Grid domain for the in-domain test.
-        origin = np.asarray(self.grid.origin, dtype=np.float64)
-        shape = np.asarray(self.grid.values.shape, dtype=np.float64)
-        spacing = np.asarray(self.grid.spacing, dtype=np.float64)
-        self._dom_lo = origin
-        self._dom_hi = origin + (shape - 1.0) * spacing
 
     def floor(self) -> float:
         """Minimum true clearance a path must have anywhere for this
@@ -162,6 +188,18 @@ class SweptCertifier:
         """Conservative robot-surface clearance at each configuration:
         min over vertices of (lower-bounded distance) minus r_cov."""
         from ..ops.transform import rotation_matrices
+
+        if self.exact:
+            out = np.empty(len(path), dtype=np.float64)
+            R = np.asarray(rotation_matrices(jnp.asarray(
+                np.asarray(path, np.float32))), dtype=np.float64)
+            verts = np.asarray(self._verts, dtype=np.float64)
+            for i in range(len(path)):
+                pts = verts @ R[i].T + np.asarray(path[i, 0:3], np.float64)
+                d = self._native.point_mesh_dist(self._obs_v, self._obs_t,
+                                                 pts)
+                out[i] = d.min() - self.r_cov
+            return out
 
         out = np.empty(len(path), dtype=np.float64)
         for lo in range(0, len(path), chunk):
@@ -235,4 +273,67 @@ class SweptCertifier:
         ok = np.maximum(clear[:-1], clear[1:]) > delta
         return SweptCertificate(bool(ok.all()), False, num_checks,
                                 len(path) - 1, min_clear, self.floor(),
-                                int((~ok).sum()))
+                                int((~ok).sum()), path=path, step_ok=ok)
+
+
+def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
+                     checker, levels=((0, 8), (2, 8), (4, 8), (7, 10)),
+                     verbose: bool = False) -> SweptCertificate:
+    """Multi-resolution continuous certification: each level is a
+    ``(refine, max_depth)`` pair using EXACT native surface distances
+    (floor = covering radius alone). Cheap levels certify everything their
+    floor allows; only the still-unproven SEGMENTS escalate to the next
+    (4x-more-samples) level — this is what makes razor-thin passages
+    affordable: refine-7 clearance queries (8M surface samples, seconds
+    each) run only where refine-4 could not decide.
+
+    Returns the final level's certificate with totals aggregated across
+    levels; short-circuits on any refutation (collision=True).
+    """
+    total_checks = 0
+    min_clear = float("inf")
+    segments = [np.asarray(path, np.float32)]
+    last_floor = float("nan")
+    for li, (refine, max_depth) in enumerate(levels):
+        cert = SweptCertifier(robot, obstacle, refine=refine, exact=True)
+        last_floor = cert.floor()
+        next_segments = []
+        for seg in segments:
+            res = cert.certify(seg, checker, max_depth=max_depth)
+            total_checks += res.num_checks
+            if np.isfinite(res.min_clearance):
+                min_clear = min(min_clear, res.min_clearance + cert.r_cov)
+            if res.collision:
+                return SweptCertificate(False, True, total_checks, 0,
+                                        min_clear - cert.r_cov,
+                                        cert.floor(), 0)
+            if not res.certified:
+                # Hand each unproven step (with its already-subdivided
+                # neighbors for context) to the next level.
+                p, ok = res.path, res.step_ok
+                bad = np.nonzero(~ok)[0]
+                # Merge adjacent unproven steps into contiguous segments.
+                start = None
+                for b in bad:
+                    if start is None:
+                        start = b
+                        end = b
+                    elif b == end + 1:
+                        end = b
+                    else:
+                        next_segments.append(p[start : end + 2])
+                        start = end = b
+                if start is not None:
+                    next_segments.append(p[start : end + 2])
+        if verbose:
+            print(f"  level {li} (refine={refine}, floor="
+                  f"{cert.floor():.3f}): {len(next_segments)} unproven "
+                  f"segment(s) remain, {total_checks} checks so far",
+                  flush=True)
+        segments = next_segments
+        if not segments:
+            return SweptCertificate(True, False, total_checks, len(path) - 1,
+                                    min_clear - cert.r_cov, cert.floor(), 0)
+    return SweptCertificate(False, False, total_checks, len(path) - 1,
+                            min_clear - last_floor, last_floor,
+                            sum(len(s) - 1 for s in segments))

@@ -58,6 +58,15 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p,
             ]
+            try:
+                lib.rc_point_mesh_dist.restype = ctypes.c_int64
+                lib.rc_point_mesh_dist.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                    ctypes.c_void_p,
+                ]
+            except AttributeError:
+                pass  # stale pre-round-4 .so without the distance query
             _lib = lib
             break
     return _lib
@@ -142,3 +151,21 @@ def oracle_check(rob_verts: np.ndarray, rob_tris: np.ndarray,
     )
     assert got == n, (got, n)
     return out.astype(bool)
+
+
+def point_mesh_dist(verts: np.ndarray, tris: np.ndarray,
+                    points: np.ndarray) -> np.ndarray:
+    """Exact unsigned min distance from each point to the mesh SURFACE
+    (native BVH best-first; the `fcl::distance` half of the oracle API the
+    reference never used). Returns dist[N] f64."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rc_point_mesh_dist"):
+        raise RuntimeError("native library not built (make -C native)")
+    v = np.ascontiguousarray(verts, dtype=np.float64)
+    t = np.ascontiguousarray(tris, dtype=np.int32)
+    p = np.ascontiguousarray(points, dtype=np.float64).reshape(-1, 3)
+    out = np.empty((p.shape[0],), dtype=np.float64)
+    got = lib.rc_point_mesh_dist(_ptr(v), _ptr(t), v.shape[0], t.shape[0],
+                                 _ptr(p), p.shape[0], _ptr(out))
+    assert got == p.shape[0], (got, p.shape[0])
+    return out

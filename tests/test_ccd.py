@@ -102,3 +102,32 @@ def test_trajopt_swept_certificate():
     # The sphere world is wide open: the continuous certificate should
     # succeed outright here.
     assert res.swept.certified
+
+
+def test_exact_mode_and_multires(wall_world):
+    # Exact-distance clearance (native BVH): floor = r_cov alone, so a path
+    # the grid-based certifier cannot decide (clearance below e_g + r_cov)
+    # certifies under multi-resolution escalation.
+    from robocheck_tpu.planner.ccd import certify_multires
+    from robocheck_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    robot, wall, checker, cert_grid = wall_world
+    gap = 0.6 * cert_grid.floor()  # undecidable for the grid certifier
+    path = np.zeros((3, 6), dtype=np.float32)
+    path[:, 0] = 0.05 + 0.2 + gap
+    path[:, 1] = [-1.0, 0.0, 1.0]
+    assert checker.check_valid_resolved(path).all()
+    res_grid = cert_grid.certify(path, checker, max_depth=4)
+    assert not res_grid.certified and not res_grid.collision
+    res = certify_multires(robot, wall, path, checker,
+                           levels=((0, 6), (2, 8)))
+    assert res.certified and not res.collision
+    # And a genuinely tunneling path is still refuted.
+    tun = np.zeros((2, 6), dtype=np.float32)
+    tun[0, 0] = -2.0
+    tun[1, 0] = 2.0
+    res2 = certify_multires(robot, wall, tun, checker,
+                            levels=((0, 6), (2, 8)))
+    assert res2.collision and not res2.certified
