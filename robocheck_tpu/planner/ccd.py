@@ -240,14 +240,24 @@ class SweptCertifier:
         for _ in range(max_depth):
             delta = self.step_bounds(path)
             # A step certifies from EITHER endpoint's clearance ball.
-            ok = np.maximum(clear[:-1], clear[1:]) > delta
+            pairmax = np.maximum(clear[:-1], clear[1:])
+            ok = pairmax > delta
             if ok.all():
                 return SweptCertificate(True, False, num_checks,
                                         len(path) - 1, min_clear,
                                         self.floor(), 0)
-            # Subdivide failing steps: insert midpoints, boolean-check them,
-            # recompute their clearances only.
-            bad = np.nonzero(~ok)[0]
+            # HOPELESS steps — conservative clearance <= 0 at both
+            # endpoints — can never certify at THIS sampling level no
+            # matter how small delta gets; splitting them doubles work
+            # every round for nothing (measured: it turned a multires
+            # level into hours). Freeze them as unproven; a finer level
+            # (smaller r_cov) re-examines them via certify_multires.
+            frozen = pairmax <= 0.0
+            if (ok | frozen).all():
+                break
+            # Subdivide the remaining failing steps: insert midpoints,
+            # boolean-check them, recompute their clearances only.
+            bad = np.nonzero(~ok & ~frozen)[0]
             mids = 0.5 * (path[bad].astype(np.float64)
                           + path[bad + 1].astype(np.float64))
             mids = mids.astype(np.float32)

@@ -134,6 +134,25 @@ def alpha_demo(interpret: bool, plan: bool = False,
             if not dv.all():
                 return 1
         print("RRT path certified at 0.1x robot extent (discrete)")
+        if ccd:
+            # Continuous certification, multi-resolution exact mode: cheap
+            # surface-sampling levels certify everything their covering
+            # radius allows; only the razor segments escalate to refine-7
+            # (16.5M-triangle) sampling. Takes ~15 min; produced the
+            # repo's ALPHA_CCD.json certificate.
+            from robocheck_tpu.planner.ccd import certify_multires
+
+            print("continuous certification (multi-resolution exact; "
+                  "~15 min)...")
+            t0 = _time.perf_counter()
+            sw = certify_multires(robot, obstacle, res.path, checker,
+                                  levels=((2, 8), (4, 10), (6, 12),
+                                          (7, 14)), verbose=True)
+            print(f"continuous certificate: certified={sw.certified}, "
+                  f"collision={sw.collision}, min conservative clearance "
+                  f"{sw.min_clearance:.3f}, floor {sw.method_floor:.3f}, "
+                  f"{sw.num_checks} exact checks, "
+                  f"{_time.perf_counter() - t0:.0f}s")
         if smooth:
             # Planner-in-the-loop on the real workload: SQP smooths the
             # certified RRT path under the SDF proxy; the exact checker
@@ -162,23 +181,6 @@ def alpha_demo(interpret: bool, plan: bool = False,
                       "cannot represent the ~0.3-unit passage clearance, "
                       "so gradient smoothing pushes out of the passage — "
                       "guarantees stay with the exact checker.")
-        if ccd:
-            from robocheck_tpu.planner.ccd import SweptCertifier
-
-            cert = SweptCertifier(robot, obstacle, resolution=192, refine=2)
-            dense, _ = densify(res.path, step=0.1 * ext)
-            sw = cert.certify(dense, checker)
-            print(f"continuous certificate: certified={sw.certified}, "
-                  f"collision={sw.collision}, min clearance "
-                  f"{sw.min_clearance:.2f} vs floor {sw.method_floor:.2f} "
-                  f"({sw.uncertified_steps} unproven steps)")
-            if not sw.certified and not sw.collision:
-                print("  -> measured gap: the path's conservative "
-                      "clearance never exceeds the certifier floor "
-                      "(sampled surface distance ~0.3 config units in "
-                      "the passage); a true alpha certificate needs "
-                      "r_cov below that — refine>=6 (1M+ surface "
-                      "samples) plus a ~512^3 grid.")
         return 0
     if not plan:
         return 0
