@@ -372,8 +372,23 @@ inline double box_dist2(const Vec3& p, const double lo[3], const double hi[3]) {
   return d2;
 }
 
+// Squared distance from a point to a segment.
+inline double point_seg_dist2(const Vec3& p, const Vec3& a, const Vec3& b) {
+  Vec3 ab = sub(b, a), ap = sub(p, a);
+  double denom = dot(ab, ab);
+  double t = denom > 0 ? dot(ap, ab) / denom : 0.0;
+  t = t < 0 ? 0 : (t > 1 ? 1 : t);
+  Vec3 q = {a.x + t * ab.x, a.y + t * ab.y, a.z + t * ab.z};
+  Vec3 d = sub(p, q);
+  return dot(d, d);
+}
+
 // Exact point-to-triangle squared distance (Ericson, Real-Time Collision
 // Detection 5.1.5) — the scalar twin of `planner/sdf.py`'s branch-free form.
+// Degenerate (zero-area) triangles fall back to the min edge distance:
+// without the guard the interior case divides by va+vb+vc == 0 and the NaN
+// silently DROPS the triangle from the BVH min — an overestimated distance
+// is an unsound clearance certificate.
 inline double point_tri_dist2(const Vec3& p, const Vec3& a, const Vec3& b,
                               const Vec3& c) {
   Vec3 ab = sub(b, a), ac = sub(c, a), ap = sub(p, a);
@@ -413,7 +428,14 @@ inline double point_tri_dist2(const Vec3& p, const Vec3& a, const Vec3& b,
     Vec3 d = sub(p, q);
     return dot(d, d);
   }
-  double denom = 1.0 / (va + vb + vc);
+  double sum = va + vb + vc;
+  if (!(sum > 0) && !(sum < 0)) {  // degenerate or NaN: edges are exact
+    double d2 = point_seg_dist2(p, a, b);
+    double e2 = point_seg_dist2(p, b, c);
+    double f2 = point_seg_dist2(p, c, a);
+    return std::fmin(d2, std::fmin(e2, f2));
+  }
+  double denom = 1.0 / sum;
   double v = vb * denom, w = vc * denom;
   Vec3 q = {a.x + v * ab.x + w * ac.x, a.y + v * ab.y + w * ac.y,
             a.z + v * ab.z + w * ac.z};

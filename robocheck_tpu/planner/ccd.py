@@ -146,6 +146,10 @@ class SweptCertifier:
                 raise RuntimeError(
                     "exact clearance needs the native library "
                     "(make -C native)")
+            if not _native.has_point_mesh_dist():
+                raise RuntimeError(
+                    "native library is stale (no rc_point_mesh_dist) — "
+                    "rebuild with make -C native")
             self.grid = None
             self.e_g = 0.0
             self._native = _native
@@ -194,11 +198,18 @@ class SweptCertifier:
             R = np.asarray(rotation_matrices(jnp.asarray(
                 np.asarray(path, np.float32))), dtype=np.float64)
             verts = np.asarray(self._verts, dtype=np.float64)
-            for i in range(len(path)):
-                pts = verts @ R[i].T + np.asarray(path[i, 0:3], np.float64)
-                d = self._native.point_mesh_dist(self._obs_v, self._obs_t,
-                                                 pts)
-                out[i] = d.min() - self.r_cov
+            t = np.asarray(path, np.float64)[:, 0:3]
+            # Batch configurations per native call (amortizes call +
+            # obstacle-BVH setup) up to ~2M posed points per call.
+            vb = max(1, int(2_000_000 // max(len(verts), 1)))
+            for lo in range(0, len(path), vb):
+                hi = min(lo + vb, len(path))
+                pts = np.einsum("bij,vj->bvi", R[lo:hi], verts)
+                pts += t[lo:hi, None, :]
+                d = self._native.point_mesh_dist(
+                    self._obs_v, self._obs_t, pts.reshape(-1, 3))
+                out[lo:hi] = d.reshape(hi - lo, len(verts)).min(
+                    axis=1) - self.r_cov
             return out
 
         out = np.empty(len(path), dtype=np.float64)
@@ -314,9 +325,10 @@ def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
             if np.isfinite(res.min_clearance):
                 min_clear = min(min_clear, res.min_clearance + cert.r_cov)
             if res.collision:
+                mc = (min_clear - cert.r_cov
+                      if np.isfinite(min_clear) else float("nan"))
                 return SweptCertificate(False, True, total_checks, 0,
-                                        min_clear - cert.r_cov,
-                                        cert.floor(), 0)
+                                        mc, cert.floor(), 0)
             if not res.certified:
                 # Hand each unproven step (with its already-subdivided
                 # neighbors for context) to the next level.

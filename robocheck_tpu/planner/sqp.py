@@ -286,8 +286,14 @@ class SQPOptimizer:
             q[1:-1, :3] += rng.normal(scale=1e-2, size=(cfg.num_waypoints - 2,
                                                         3)).astype(np.float32)
         else:
+            from .trajopt import snap_endpoint_branch
+
             q = np.asarray(init, np.float32).copy()
-            q[0], q[-1] = start, goal
+            # Pin endpoints on the init's 2*pi branch (see
+            # trajopt.snap_endpoint_branch): raw endpoints re-introduce the
+            # near-2*pi final-segment jump unwrap_path removed.
+            q[0] = snap_endpoint_branch(start, q[0])
+            q[-1] = snap_endpoint_branch(goal, q[-1])
 
         qj = jnp.asarray(q)
         for rnd in range(start_round, cfg.max_penalty_rounds):

@@ -134,6 +134,23 @@ def _sample_surface_points(mesh: Mesh, num: int, seed: int) -> np.ndarray:
     return pts.astype(np.float32)
 
 
+def snap_endpoint_branch(endpoint: np.ndarray,
+                         like: np.ndarray) -> np.ndarray:
+    """Shift an endpoint's angle coordinates by whole turns so they land on
+    the same 2*pi branch as ``like`` (an adjacent waypoint of an
+    angle-continuous path, see `prm.unwrap_path`). Without this, pinning a
+    winding path's last waypoint to the RAW goal re-introduces a near-2*pi
+    jump in the final segment: the smoothness cost sees a phantom
+    (2*pi*rot_scale)^2 residual and certification sweeps the robot a full
+    turn the long way — the failure previously misattributed to SDF proxy
+    resolution. The returned endpoint denotes the identical pose (angles
+    are periodic everywhere downstream)."""
+    e = np.asarray(endpoint, np.float64).copy()
+    ref = np.asarray(like, np.float64)
+    e[3:6] += 2.0 * np.pi * np.round((ref[3:6] - e[3:6]) / (2.0 * np.pi))
+    return e.astype(np.float32)
+
+
 def _pose_points(confs: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     """[T,6] waypoints x [P,3] body points -> [T,P,3] world points."""
     R = rotation_matrices(confs)  # [T,3,3]
@@ -232,6 +249,11 @@ class TrajectoryOptimizer:
         run out)."""
         start = np.asarray(start, np.float32)
         goal = np.asarray(goal, np.float32)
+        if init is not None:
+            # Angle-continuous inits (planner outputs) may end a whole turn
+            # away from the raw endpoints; pin to the init's branch.
+            start = snap_endpoint_branch(start, init[0])
+            goal = snap_endpoint_branch(goal, init[-1])
         q = init if init is not None else self.initial_trajectory(start, goal)
         if init is None:
             # Symmetry breaking: a straight line through a symmetric obstacle

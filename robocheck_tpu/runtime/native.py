@@ -76,6 +76,12 @@ def available() -> bool:
     return _load() is not None
 
 
+def has_point_mesh_dist() -> bool:
+    """False for a stale pre-round-4 .so without the distance query."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "rc_point_mesh_dist")
+
+
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.c_void_p)
 

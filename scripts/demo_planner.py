@@ -134,6 +134,7 @@ def alpha_demo(interpret: bool, plan: bool = False,
             if not dv.all():
                 return 1
         print("RRT path certified at 0.1x robot extent (discrete)")
+        ccd_ok = True
         if ccd:
             # Continuous certification, multi-resolution exact mode: cheap
             # surface-sampling levels certify everything their covering
@@ -153,6 +154,7 @@ def alpha_demo(interpret: bool, plan: bool = False,
                   f"{sw.min_clearance:.3f}, floor {sw.method_floor:.3f}, "
                   f"{sw.num_checks} exact checks, "
                   f"{_time.perf_counter() - t0:.0f}s")
+            ccd_ok = sw.certified and not sw.collision
         if smooth:
             # Planner-in-the-loop on the real workload: SQP smooths the
             # certified RRT path under the SDF proxy; the exact checker
@@ -181,7 +183,7 @@ def alpha_demo(interpret: bool, plan: bool = False,
                       "cannot represent the ~0.3-unit passage clearance, "
                       "so gradient smoothing pushes out of the passage — "
                       "guarantees stay with the exact checker.")
-        return 0
+        return 0 if ccd_ok else 1
     if not plan:
         return 0
 
