@@ -106,13 +106,21 @@ class SweptCertificate:
     collision: bool  # a boolean check FAILED (path definitely invalid)
     num_checks: int  # exact boolean checks spent
     num_steps: int  # final number of certified steps
-    min_clearance: float  # worst conservative surface clearance seen
+    # Worst conservative surface clearance seen at any sampled configuration
+    # (lower-bounded distance minus that certifier's r_cov) — a sound lower
+    # bound on the path's sampled surface clearance. Multi-level runs report
+    # the min over levels of each level's own conservative value (no
+    # cross-level r_cov mixing).
+    min_clearance: float
     method_floor: float  # e_g + r_cov: clearances below this can't certify
     uncertified_steps: int  # steps still unproven at max depth
     # Final (subdivided) path and per-step proof mask — lets a coarser
     # certifier hand its unproven segments to a finer one (certify_multires).
     path: np.ndarray | None = None
     step_ok: np.ndarray | None = None
+    # Which steps were real certification targets (False = junction steps
+    # between independently-proven segments in a batched concat path).
+    step_real: np.ndarray | None = None
 
 
 class SweptCertifier:
@@ -127,19 +135,34 @@ class SweptCertifier:
 
     def __init__(self, robot: Mesh, obstacle: Mesh,
                  grid: DistanceGrid | None = None, resolution: int = 96,
-                 refine: int = 0, exact: bool = False):
+                 refine: int = 0, exact: bool = False,
+                 backend: str = "tpu", mesh=None):
         self.robot = subdivide_mesh(robot, refine) if refine else robot
         self.obstacle = obstacle
         self.exact = exact
+        self._engine = None
         self.r_cov = covering_radius(self.robot)
         self.r_max = float(
             np.linalg.norm(self.robot.vertices.astype(np.float64), axis=1).max()
         )
-        if exact:
-            # Exact surface distances via the native BVH point-to-mesh
-            # query (`runtime/native.rc_point_mesh_dist`): no grid, no
-            # interpolation error — the method floor drops to r_cov alone,
-            # which is what makes sub-grid-cell clearances certifiable.
+        if exact and backend == "tpu":
+            # Exact surface distances on the ACCELERATOR
+            # (`planner/clearance.py`): batched posed-vertex-block vs
+            # obstacle-triangle distance queries with AABB culling. No
+            # grid, no interpolation error — the method floor drops to
+            # r_cov plus the engine's conservative f32 haircut, which is
+            # what makes sub-grid-cell clearances certifiable, without
+            # idling the device through its own proof (the round-4 native
+            # path spent 13.4 min of the alpha certificate on the host).
+            from .clearance import TpuClearanceEngine
+
+            self.grid = None
+            self.e_g = 0.0
+            self._engine = TpuClearanceEngine(
+                self.robot.vertices, obstacle, mesh=mesh)
+        elif exact:
+            # Host fallback / cross-check backend: the native BVH
+            # point-to-mesh query (`runtime/native.rc_point_mesh_dist`).
             from ..runtime import native as _native
 
             if not _native.available():
@@ -191,7 +214,12 @@ class SweptCertifier:
     def clearances(self, path: np.ndarray, chunk: int = 256) -> np.ndarray:
         """Conservative robot-surface clearance at each configuration:
         min over vertices of (lower-bounded distance) minus r_cov."""
-        from ..ops.transform import rotation_matrices
+        from ..ops.transform import apply_pose, rotation_matrices
+
+        if self._engine is not None:
+            # Device path: per-config min posed-vertex distance, already a
+            # sound lower bound (f32 haircut subtracted by the engine).
+            return self._engine.min_distances(path) - self.r_cov
 
         if self.exact:
             out = np.empty(len(path), dtype=np.float64)
@@ -217,7 +245,10 @@ class SweptCertifier:
             part = np.asarray(path[lo : lo + chunk], dtype=np.float32)
             R = rotation_matrices(jnp.asarray(part))  # [B,3,3]
             t = jnp.asarray(part[:, 0:3])
-            pts = jnp.einsum("bij,pj->bpi", R, self._verts) + t[:, None, :]
+            # apply_pose, NOT einsum: einsum lowers to a bf16-precision
+            # dot-general whose ~0.07-unit posing error is NOT covered by
+            # e_g (which only bounds interpolation error).
+            pts = apply_pose(R, t, self._verts)
             tril = np.asarray(self.grid.query(pts), dtype=np.float64)
             p_np = np.asarray(pts, dtype=np.float64)
             in_dom = np.logical_and(
@@ -233,14 +264,25 @@ class SweptCertifier:
             out[lo : lo + len(part)] = d_low.min(axis=1) - self.r_cov
         return out
 
-    def certify(self, path: np.ndarray, checker,
-                max_depth: int = 8) -> SweptCertificate:
+    def certify(self, path: np.ndarray, checker, max_depth: int = 8,
+                step_mask: np.ndarray | None = None) -> SweptCertificate:
         """Prove (or refute, or give up with a measured gap) that the
         piecewise-linear path is collision-free CONTINUOUSLY.
 
         The path's own vertices are boolean-checked here too, so callers
-        can pass any piecewise-linear path (waypoints or densified)."""
+        can pass any piecewise-linear path (waypoints or densified).
+
+        ``step_mask`` (bool, ``len(path)-1``) marks which steps are real
+        certification targets; ``False`` steps are junctions between
+        independent segments concatenated into one call (certify_multires
+        batches a whole level's segments this way, so every clearance and
+        boolean query is ONE batched dispatch rather than a per-segment
+        host loop) — junction steps are never tested, subdivided, frozen,
+        or reported."""
         path = np.asarray(path, dtype=np.float32)
+        real = (np.ones(max(len(path) - 1, 0), dtype=bool)
+                if step_mask is None
+                else np.asarray(step_mask, dtype=bool).copy())
         valid = np.asarray(checker.check_valid_resolved(path), dtype=bool)
         num_checks = len(path)
         if not valid.all():
@@ -252,10 +294,10 @@ class SweptCertifier:
             delta = self.step_bounds(path)
             # A step certifies from EITHER endpoint's clearance ball.
             pairmax = np.maximum(clear[:-1], clear[1:])
-            ok = pairmax > delta
+            ok = (pairmax > delta) | ~real
             if ok.all():
                 return SweptCertificate(True, False, num_checks,
-                                        len(path) - 1, min_clear,
+                                        int(real.sum()), min_clear,
                                         self.floor(), 0)
             # HOPELESS steps — conservative clearance <= 0 at both
             # endpoints — can never certify at THIS sampling level no
@@ -263,7 +305,7 @@ class SweptCertifier:
             # every round for nothing (measured: it turned a multires
             # level into hours). Freeze them as unproven; a finer level
             # (smaller r_cov) re-examines them via certify_multires.
-            frozen = pairmax <= 0.0
+            frozen = (pairmax <= 0.0) & real
             if (ok | frozen).all():
                 break
             # Subdivide the remaining failing steps: insert midpoints,
@@ -289,64 +331,90 @@ class SweptCertifier:
             new_clear[keep] = clear
             new_path[ins] = mids
             new_clear[ins] = mclear
+            # A split step becomes two steps, both real; junction steps
+            # are never bad, so the mask just stretches over insertions.
+            counts = np.ones(len(real), dtype=np.int64)
+            counts[bad] = 2
+            real = np.repeat(real, counts)
             path, clear = new_path, new_clear
         delta = self.step_bounds(path)
-        ok = np.maximum(clear[:-1], clear[1:]) > delta
+        ok = (np.maximum(clear[:-1], clear[1:]) > delta) | ~real
         return SweptCertificate(bool(ok.all()), False, num_checks,
-                                len(path) - 1, min_clear, self.floor(),
-                                int((~ok).sum()), path=path, step_ok=ok)
+                                int(real.sum()), min_clear, self.floor(),
+                                int((~ok).sum()), path=path, step_ok=ok,
+                                step_real=real)
 
 
 def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
                      checker, levels=((0, 8), (2, 8), (4, 8), (7, 10)),
-                     verbose: bool = False) -> SweptCertificate:
+                     verbose: bool = False, backend: str = "tpu",
+                     mesh=None) -> SweptCertificate:
     """Multi-resolution continuous certification: each level is a
-    ``(refine, max_depth)`` pair using EXACT native surface distances
-    (floor = covering radius alone). Cheap levels certify everything their
-    floor allows; only the still-unproven SEGMENTS escalate to the next
-    (4x-more-samples) level — this is what makes razor-thin passages
-    affordable: refine-7 clearance queries (8M surface samples, seconds
-    each) run only where refine-4 could not decide.
+    ``(refine, max_depth)`` pair using EXACT surface distances (floor =
+    covering radius alone; backend "tpu" = the device clearance engine,
+    "native" = the host BVH cross-check path). Cheap levels certify
+    everything their floor allows; only the still-unproven SEGMENTS
+    escalate to the next (4x-more-samples) level — this is what makes
+    razor-thin passages affordable: refine-7 clearance queries (8M surface
+    samples) run only where refine-4 could not decide.
 
-    Returns the final level's certificate with totals aggregated across
-    levels; short-circuits on any refutation (collision=True).
+    A level's surviving segments are certified in ONE batched `certify`
+    call (concatenated path + junction step mask), so all their boolean
+    checks and clearance queries land on the device as whole-level batches
+    — the round-4 per-segment host loop serialized exactly the part of the
+    proof that is embarrassingly parallel. Pass ``mesh=`` (a jax Mesh) to
+    shard those batches across devices.
+
+    Returns a certificate with totals aggregated across levels;
+    ``min_clearance`` is the min over levels of each level's own
+    conservative surface clearance (no cross-level r_cov mixing).
+    Short-circuits on any refutation (collision=True).
     """
     total_checks = 0
     min_clear = float("inf")
     segments = [np.asarray(path, np.float32)]
     last_floor = float("nan")
     for li, (refine, max_depth) in enumerate(levels):
-        cert = SweptCertifier(robot, obstacle, refine=refine, exact=True)
+        cert = SweptCertifier(robot, obstacle, refine=refine, exact=True,
+                              backend=backend, mesh=mesh)
         last_floor = cert.floor()
+        # One batched call for the whole level: concatenate segments and
+        # mask out the junction steps between them.
+        concat = np.concatenate(segments, axis=0)
+        real = np.ones(max(len(concat) - 1, 0), dtype=bool)
+        off = 0
+        for seg in segments[:-1]:
+            off += len(seg)
+            real[off - 1] = False
+        res = cert.certify(concat, checker, max_depth=max_depth,
+                           step_mask=real)
+        total_checks += res.num_checks
+        if np.isfinite(res.min_clearance):
+            min_clear = min(min_clear, res.min_clearance)
+        mc = min_clear if np.isfinite(min_clear) else float("nan")
+        if res.collision:
+            return SweptCertificate(False, True, total_checks, 0,
+                                    float("nan"), cert.floor(), 0)
+        if res.certified:
+            return SweptCertificate(True, False, total_checks,
+                                    len(path) - 1, mc, cert.floor(), 0)
+        # Merge adjacent unproven real steps into contiguous segments for
+        # the next level (junction steps are never unproven-real, so runs
+        # cannot bleed across segment boundaries).
+        p, ok, rl = res.path, res.step_ok, res.step_real
+        bad = np.nonzero(~ok & rl)[0]
         next_segments = []
-        for seg in segments:
-            res = cert.certify(seg, checker, max_depth=max_depth)
-            total_checks += res.num_checks
-            if np.isfinite(res.min_clearance):
-                min_clear = min(min_clear, res.min_clearance + cert.r_cov)
-            if res.collision:
-                mc = (min_clear - cert.r_cov
-                      if np.isfinite(min_clear) else float("nan"))
-                return SweptCertificate(False, True, total_checks, 0,
-                                        mc, cert.floor(), 0)
-            if not res.certified:
-                # Hand each unproven step (with its already-subdivided
-                # neighbors for context) to the next level.
-                p, ok = res.path, res.step_ok
-                bad = np.nonzero(~ok)[0]
-                # Merge adjacent unproven steps into contiguous segments.
-                start = None
-                for b in bad:
-                    if start is None:
-                        start = b
-                        end = b
-                    elif b == end + 1:
-                        end = b
-                    else:
-                        next_segments.append(p[start : end + 2])
-                        start = end = b
-                if start is not None:
-                    next_segments.append(p[start : end + 2])
+        start = None
+        for b in bad:
+            if start is None:
+                start = end = b
+            elif b == end + 1:
+                end = b
+            else:
+                next_segments.append(p[start : end + 2])
+                start = end = b
+        if start is not None:
+            next_segments.append(p[start : end + 2])
         if verbose:
             print(f"  level {li} (refine={refine}, floor="
                   f"{cert.floor():.3f}): {len(next_segments)} unproven "
@@ -355,7 +423,7 @@ def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
         segments = next_segments
         if not segments:
             return SweptCertificate(True, False, total_checks, len(path) - 1,
-                                    min_clear - cert.r_cov, cert.floor(), 0)
+                                    mc, cert.floor(), 0)
     return SweptCertificate(False, False, total_checks, len(path) - 1,
-                            min_clear - last_floor, last_floor,
+                            min_clear, last_floor,
                             sum(len(s) - 1 for s in segments))

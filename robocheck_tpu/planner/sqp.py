@@ -174,7 +174,9 @@ class SQPOptimizer:
 
             def model_grad(dq):
                 def model(dq):
-                    lin = g0 + jnp.einsum("tkd,td->tk", J, dq)
+                    # Elementwise contraction (einsum would lower to a
+                    # bf16-precision dot-general; d=6 is VPU work anyway).
+                    lin = g0 + jnp.sum(J * dq[:, None, :], axis=-1)
                     return smooth_cost(q + dq) + mu * jnp.sum(
                         jnp.maximum(lin, 0.0)
                     )

@@ -152,10 +152,16 @@ def snap_endpoint_branch(endpoint: np.ndarray,
 
 
 def _pose_points(confs: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
-    """[T,6] waypoints x [P,3] body points -> [T,P,3] world points."""
+    """[T,6] waypoints x [P,3] body points -> [T,P,3] world points.
+
+    Uses ``apply_pose`` (explicit VPU broadcasts) rather than einsum: a
+    3-wide einsum contraction lowers to a default-precision (bfloat16)
+    dot-general, whose ~0.07-unit posing error at this scene's coordinate
+    scale would leak straight into the SDF penalty gradients."""
+    from ..ops.transform import apply_pose
+
     R = rotation_matrices(confs)  # [T,3,3]
-    t = confs[:, 0:3]
-    return jnp.einsum("tij,pj->tpi", R, points) + t[:, None, :]
+    return apply_pose(R, confs[:, 0:3], points)
 
 
 class TrajectoryOptimizer:
