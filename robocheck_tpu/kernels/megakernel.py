@@ -353,14 +353,11 @@ def _gate_cols(num_rob_tiles: int, num_obs_tiles: int) -> int:
 _SLAB = 16
 
 
-def _slab_words(num_obs_subs: int) -> int:
-    return (num_obs_subs + _GATE_WORD_BITS - 1) // _GATE_WORD_BITS
-
-
 def _slab_scr_rows(num_rob_tiles: int, num_obs_subs: int) -> int:
-    # One word row per (robot tile, slab word) + 2 rows for the final
-    # hit/maybe-cop sums, sublane-rounded.
-    return round_up(num_rob_tiles * _slab_words(num_obs_subs) + 2, 8)
+    # Row 0: the contact visit's per-slab candidate word; row 1: its packed
+    # verdict sums. (The round-4 slab cold pass kept a word row per robot
+    # tile here; that falsified variant was removed — DESIGN.md receipt.)
+    return 8
 
 
 def _ctz16(word):
@@ -388,8 +385,8 @@ def _kernel(
     #        broad flag, 1..6 summaries, 7 probe zero, 8 best-tile code.
     gates_scr,  # VMEM scratch [CONFS_PER_PROGRAM, _gate_cols] f32:
     #        hot gate words then cold gate words (float-encoded ints).
-    slab_scr,  # VMEM scratch [_slab_scr_rows, LANE] f32: per-config slab
-    #        candidate words (overwritten config to config) + final sums.
+    slab_scr,  # VMEM scratch [_slab_scr_rows, LANE] f32: contact visit's
+    #        slab candidate word + packed verdict sums (per-config scratch).
     *,
     num_rob_tiles: int,
     num_obs_tiles: int,
@@ -400,7 +397,7 @@ def _kernel(
     stats: bool = True,
     stage_cap: int = 2,
     hot_thresh: float = 1024.0,
-    slab_sweep: bool = False,
+    contact_slabs: bool = False,
     best_first: bool = True,
 ):
     # ---- Stage 1 (vectorized across the block's configurations):
@@ -655,7 +652,7 @@ def _kernel(
                 num_rob_tiles=num_rob_tiles,
                 num_obs_tiles=num_obs_tiles, rob_tile=rob_tile,
                 obs_tile=obs_tile, inner_exit=inner_exit, stats=stats,
-                stage_cap=stage_cap, slab_sweep=slab_sweep,
+                stage_cap=stage_cap, contact_slabs=contact_slabs,
                 best_first=best_first,
             )
         else:
@@ -686,7 +683,8 @@ def _one_config(
     misc, gates_scr, slab_scr,
     *, num_rob_tiles: int, num_obs_tiles: int, rob_tile: int = LANE,
     obs_tile: int = LANE, inner_exit: bool = True, stats: bool = True,
-    stage_cap: int = 2, slab_sweep: bool = False, best_first: bool = True,
+    stage_cap: int = 2, contact_slabs: bool = False,
+    best_first: bool = True,
 ):
     broad_hit = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
     # Runtime-false scalar for the stage_cap profiling probes: misc col 7 is
@@ -887,182 +885,104 @@ def _one_config(
             _, carry = jax.lax.while_loop(rob_cond, rob_body, (rw0, carry))
         return carry
 
-    num_obs_subs = obs_sub_ref.shape[0]
-    wpt = _slab_words(num_obs_subs)
     spw = obs_tile // _SLAB  # slabs per obstacle tile
-    sum_row = num_rob_tiles * wpt  # slab_scr rows for the final sums
 
-    def cold_slab(carry):
-        """Cold pass, slab flow — FALSIFIED on v5e as a default (kept
-        opt-in, verdict-tested): on hard100k it measured 2.57 vs 2.32
-        us/config mixed and 2.01 vs 1.78 valid-only against the per-tile
-        flow. Two reasons: the per-visit any()->cond sync is cheaper than
-        the round-3 estimate that motivated this design (~0.15 us, not
-        0.3), and the cheap tri-box-vs-slab candidate test over-admits
-        2.2x (3.4 candidate slabs vs 1.55 exact, gate_study.py), so the
-        decision-free slab pass pays more unconditional Moller area + twice
-        the per-robot-tile machinery (pass A and B both pop words and load
-        the field block). The design:
+    def contact_tile_body(j, carry, rfield, r_lo, r_hi, tile_mask):
+        """Slab-granular flow for the best-first (contact) tile visit,
+        packed path only. A colliding configuration pays full-tile
+        planes+interval (~1.5 us) in `tile_body` although its contact
+        almost always lives in 1-2 of the tile's eight [16 x 128] slabs
+        (round-4 roofline, DESIGN.md). Here the mini-AABB mask is reduced
+        to a per-slab candidate word with two small matmuls (machinery
+        from the falsified round-4 slab cold pass — see git history /
+        DESIGN.md for its receipt; the pass itself was removed), and
+        planes+interval run per candidate slab only. Scalar stalls stay at
+        two (word read, verdict-sum read) — the same count as the per-tile
+        flow's any(mask)/any(live) syncs. Any maybe-coplanar pair falls
+        back to the exact per-tile flow on this tile, so packed verdicts
+        are bit-identical (`test_contact_slabs_same_verdicts`)."""
+        ooff = pl.multiple_of(j * obs_tile, obs_tile)
+        oblock = obs_t_ref[pl.ds(ooff, obs_tile), :]
 
-          A. per cold-gated robot tile, test all robot tri boxes against
-             every obstacle SLAB box ([To/16, rob_tile] compares), reduce
-             per-slab with ONE MXU matmul, pack candidate bits into float
-             words with a second matmul, and store them — no scalar syncs.
-          B. scalar-read the words back (one store->load stall per config
-             instead of one sync per tile) and run mask+planes+interval
-             UNCONDITIONALLY on each candidate [16, rob_tile] slab (2-vreg
-             arithmetic, ~1/8 of a tile), accumulating per-pair hit /
-             maybe-cop bits in vector carries.
-          C. reduce the accumulators with matmuls, store, scalar-read: one
-             final stall decides the verdict. If any maybe-cop pair was
-             seen (measured ~never on real data) the whole cold set reruns
-             through the exact per-tile flow — verdicts stay bit-identical
-             to the per-tile path because every live pair lies in some
-             candidate slab (tri box <= slab box) and the per-pair FP math
-             is shared (`_moller_interval_parts`).
-        """
-        hit0, cop0 = carry
+        def ocol(c):
+            return oblock[:, c : c + 1]
 
-        # --- Pass A: candidate slab words, one store per robot tile. ---
-        sub_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (num_obs_subs, 1), 0)
-        jt = sub_iota // spw  # obstacle tile of each slab
-        os_lo = [obs_sub_ref[:, k : k + 1] for k in range(3)]
-        os_hi = [obs_sub_ref[:, 3 + k : 4 + k] for k in range(3)]
-        # Pack-weight matrix W[w, s] = 2^(s - 16w) within word w, else 0.
-        wr = jax.lax.broadcasted_iota(jnp.int32, (wpt, num_obs_subs), 0)
-        wc = jax.lax.broadcasted_iota(jnp.int32, (wpt, num_obs_subs), 1)
-        we = wc - wr * _GATE_WORD_BITS
-        in_word = (we >= 0) & (we < _GATE_WORD_BITS)
-        w_pack = jnp.where(
-            in_word,
-            jax.lax.shift_left(jnp.ones_like(we), jnp.where(in_word, we, 0)),
-            0,
-        ).astype(jnp.float32)
+        mask = tile_mask
+        for k in range(3):
+            mask &= r_lo[k] <= ocol(_O_HI + k)
+            mask &= ocol(_O_LO + k) <= r_hi[k]
+
+        # Candidate word: bit s = slab s has any masked pair. Group-sum
+        # matmul [spw, To] x [To, rt] -> [spw, rt], row-sum, then pack with
+        # a powers-of-two dot (exact in f32: spw <= 8 bits).
+        grow = jax.lax.broadcasted_iota(jnp.int32, (spw, obs_tile), 0)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (spw, obs_tile), 1)
+        w_grp = ((gcol // _SLAB) == grow).astype(jnp.float32)
         ones_rt = jnp.ones((rob_tile, 1), jnp.float32)
+        scount = jax.lax.dot(
+            jax.lax.dot(w_grp, mask.astype(jnp.float32)), ones_rt)
+        pw = jax.lax.broadcasted_iota(jnp.int32, (1, spw), 1)
+        w_pow = jax.lax.shift_left(
+            jnp.ones((1, spw), jnp.int32), pw).astype(jnp.float32)
+        word_f = jax.lax.dot(w_pow, (scount > 0.0).astype(jnp.float32))
+        slab_scr[0:1, :] = jnp.broadcast_to(word_f, (1, LANE))
+        word0 = slab_scr[0:1, 0:1][0, 0].astype(jnp.int32)  # stall 1
 
-        def slab_candidates(i):
-            words = load_words(i, cold_base)
-            _, r_lo, r_hi, tile_mask = load_rob_fields(i)
-            cand = tile_mask  # [1, rob_tile] broadcast over slabs
-            for k in range(3):
-                cand = cand & (r_lo[k] <= os_hi[k])
-                cand = cand & (os_lo[k] <= r_hi[k])  # [num_obs_subs, rt]
-            counts = jax.lax.dot(cand.astype(jnp.float32), ones_rt)
-            # Gate by this robot tile's cold gate words (slab s belongs to
-            # obstacle tile s // spw).
-            allowed = jnp.zeros_like(sub_iota)
-            for wj in range(n_words):
-                sel = (jt // _GATE_WORD_BITS) == wj
-                sh = jnp.where(sel, jt - wj * _GATE_WORD_BITS, 0)
-                allowed = jnp.where(
-                    sel, jax.lax.shift_right_logical(words[wj], sh) & 1,
-                    allowed)
-            bits = ((counts > 0.0) & (allowed > 0)).astype(jnp.float32)
-            wcol = jax.lax.dot(w_pack, bits)  # [wpt, 1] exact (< 2^16)
-            slab_scr[pl.ds(pl.multiple_of(i * wpt, wpt), wpt), :] = (
-                jnp.broadcast_to(wcol, (wpt, LANE)))
+        def process(c):
+            zero_acc = jnp.zeros((_SLAB, rob_tile), jnp.float32)
 
-        for w in range(r_words):
-            rw0 = misc[pl.ds(cc, 1), 4 + w : 5 + w][0, 0].astype(jnp.int32)
+            def s_cond(state):
+                return state[0] != 0
 
-            def a_cond(rw):
-                return rw != 0
+            def s_body(state):
+                sw, hv, cv = state
+                s = _ctz16(sw)
+                soff = pl.multiple_of(ooff + s * _SLAB, _SLAB)
+                sblock = obs_t_ref[pl.ds(soff, _SLAB), :]
 
-            def a_body(rw, w=w):
-                i = w * _GATE_WORD_BITS + _ctz16(rw)
-                slab_candidates(i)
-                return rw & (rw - 1)
+                def scol(k):
+                    return sblock[:, k : k + 1]
 
-            jax.lax.while_loop(a_cond, a_body, rw0)
+                smask = tile_mask
+                for k in range(3):
+                    smask = smask & (r_lo[k] <= scol(_O_HI + k))
+                    smask = smask & (scol(_O_LO + k) <= r_hi[k])
+                sobs = {"nx": scol(_O_N), "ny": scol(_O_N + 1),
+                        "nz": scol(_O_N + 2), "d": scol(_O_D)}
+                for cc3 in range(3):
+                    sobs[f"c{cc3}x"] = scol(_O_C + 3 * cc3 + 0)
+                    sobs[f"c{cc3}y"] = scol(_O_C + 3 * cc3 + 1)
+                    sobs[f"c{cc3}z"] = scol(_O_C + 3 * cc3 + 2)
+                dist_o, dist_r, live = _tile_planes(rfield, sobs)
+                live = live & smask
+                isect, mcop = _moller_interval_parts(
+                    rfield, sobs, dist_o, dist_r, live)
+                return (sw & (sw - 1), hv + isect.astype(jnp.float32),
+                        cv + mcop.astype(jnp.float32))
 
-        # --- Pass B: unconditional Moller on candidate slabs. ---
-        zero_acc = jnp.zeros((_SLAB, rob_tile), jnp.float32)
+            _, hv, cv = jax.lax.while_loop(
+                s_cond, s_body, (word0, zero_acc, zero_acc))
+            ones_s = jnp.ones((1, _SLAB), jnp.float32)
+            s_h = jax.lax.dot(jax.lax.dot(ones_s, hv), ones_rt)  # [1, 1]
+            s_c = jax.lax.dot(jax.lax.dot(ones_s, cv), ones_rt)
+            # One packed verdict scalar: hits + 4096 * maybe-cops (exact:
+            # both sums < 16*128 = 2048, so the encoding stays < 2^24).
+            enc = s_h + jnp.float32(4096.0) * s_c
+            slab_scr[1:2, :] = jnp.broadcast_to(enc, (1, LANE))
+            e = slab_scr[1:2, 0:1][0, 0]  # stall 2
+            cops = jnp.floor(e * jnp.float32(1.0 / 4096.0))
+            hits = e - cops * jnp.float32(4096.0)
 
-        def slab_body(i_rfield, i_rlo, i_rhi, i_tmask, s_g, hv, cv):
-            ooff = pl.multiple_of(s_g * _SLAB, _SLAB)
-            oblock = obs_t_ref[pl.ds(ooff, _SLAB), :]
+            def fallback(c2):
+                # Rare maybe-coplanar pair: exact per-tile flow, identical
+                # FP semantics -> bit-identical packed verdicts.
+                return tile_body(j, c2, rfield, r_lo, r_hi, tile_mask)
 
-            def ocol(c):
-                return oblock[:, c : c + 1]
+            return jax.lax.cond(
+                cops > 0.0, fallback,
+                lambda c2: (c2[0] | (hits > 0.0), c2[1]), c)
 
-            mask = i_tmask
-            for k in range(3):
-                mask = mask & (i_rlo[k] <= ocol(_O_HI + k))
-                mask = mask & (ocol(_O_LO + k) <= i_rhi[k])
-            obs_fields = {"nx": ocol(_O_N), "ny": ocol(_O_N + 1),
-                          "nz": ocol(_O_N + 2), "d": ocol(_O_D)}
-            for c in range(3):
-                obs_fields[f"c{c}x"] = ocol(_O_C + 3 * c + 0)
-                obs_fields[f"c{c}y"] = ocol(_O_C + 3 * c + 1)
-                obs_fields[f"c{c}z"] = ocol(_O_C + 3 * c + 2)
-            dist_o, dist_r, live = _tile_planes(i_rfield, obs_fields)
-            live = live & mask
-            isect, mcop = _moller_interval_parts(
-                i_rfield, obs_fields, dist_o, dist_r, live)
-            return hv + isect.astype(jnp.float32), cv + mcop.astype(
-                jnp.float32)
-
-        def b_rob_tile(i, hv, cv):
-            rfield, r_lo, r_hi, tile_mask = load_rob_fields(i)
-            for w2 in range(wpt):
-                word0 = slab_scr[
-                    pl.ds(i * wpt + w2, 1), 0:1
-                ][0, 0].astype(jnp.int32)
-
-                def s_cond(state):
-                    sw, _, _ = state
-                    return sw != 0
-
-                def s_body(state, w2=w2):
-                    sw, hv2, cv2 = state
-                    s_g = w2 * _GATE_WORD_BITS + _ctz16(sw)
-                    hv2, cv2 = slab_body(rfield, r_lo, r_hi, tile_mask,
-                                         s_g, hv2, cv2)
-                    return (sw & (sw - 1), hv2, cv2)
-
-                _, hv, cv = jax.lax.while_loop(s_cond, s_body,
-                                               (word0, hv, cv))
-            return hv, cv
-
-        hv = zero_acc
-        cv = zero_acc
-        for w in range(r_words):
-            rw0 = misc[pl.ds(cc, 1), 4 + w : 5 + w][0, 0].astype(jnp.int32)
-
-            def b_cond(state):
-                rw, _, _ = state
-                return rw != 0
-
-            def b_body(state, w=w):
-                rw, hv2, cv2 = state
-                i = w * _GATE_WORD_BITS + _ctz16(rw)
-                hv2, cv2 = b_rob_tile(i, hv2, cv2)
-                return (rw & (rw - 1), hv2, cv2)
-
-            _, hv, cv = jax.lax.while_loop(b_cond, b_body, (rw0, hv, cv))
-
-        # --- Pass C: one stall to read the verdict sums. ---
-        ones_s = jnp.ones((1, _SLAB), jnp.float32)
-        s_h = jax.lax.dot(jax.lax.dot(ones_s, hv), ones_rt)  # [1, 1]
-        s_c = jax.lax.dot(jax.lax.dot(ones_s, cv), ones_rt)
-        # Two lane-only broadcasts (Mosaic cannot broadcast [1,1] into both
-        # sublanes and lanes in one op).
-        slab_scr[sum_row : sum_row + 1, :] = jnp.broadcast_to(s_h, (1, LANE))
-        slab_scr[sum_row + 1 : sum_row + 2, :] = jnp.broadcast_to(
-            s_c, (1, LANE))
-        sh_s = slab_scr[sum_row : sum_row + 1, 0:1][0, 0]
-        sc_s = slab_scr[sum_row + 1 : sum_row + 2, 0:1][0, 0]
-
-        def exact_cold(_):
-            # Rare maybe-cop fallback: rerun the cold set through the exact
-            # per-tile flow (identical to the slab_sweep=False path).
-            return sweep_pass((hit0, cop0), 4, cold_base)
-
-        return jax.lax.cond(
-            sc_s > 0.0, exact_cold, lambda c: c,
-            (hit0 | (sh_s > 0.0), cop0),
-        )
+        return jax.lax.cond(word0 != 0, process, lambda c: c, carry)
 
     def run_tiles():
         # Dispatch order: (1) the config's BEST tile (argmax estimated pair
@@ -1080,6 +1000,9 @@ def _one_config(
                 ib = (best_code - 1) // num_obs_tiles
                 jb = (best_code - 1) % num_obs_tiles
                 rfield, r_lo, r_hi, tile_mask = load_rob_fields(ib)
+                if contact_slabs and not stats:
+                    return contact_tile_body(jb, c, rfield, r_lo, r_hi,
+                                             tile_mask)
                 return tile_body(jb, c, rfield, r_lo, r_hi, tile_mask)
 
             carry = jax.lax.cond(best_code > 0, visit_best, lambda c: c,
@@ -1087,9 +1010,7 @@ def _one_config(
         else:
             carry = zero_carry
         carry = sweep_pass(carry, 1, 0)  # hot
-        if stats or not slab_sweep:
-            return sweep_pass(carry, 4, cold_base)
-        return jax.lax.cond(carry[0], lambda c: c, cold_slab, carry)
+        return sweep_pass(carry, 4, cold_base)
 
     carry_out = jax.lax.cond(broad_hit, run_tiles, lambda: zero_carry)
     if stats:
@@ -1263,13 +1184,13 @@ class MegaKernelPrep:
                                              "rob_tile", "obs_tile",
                                              "inner_exit", "interpret",
                                              "sweep", "stats", "stage_cap",
-                                             "hot_thresh", "slab_sweep",
+                                             "hot_thresh", "contact_slabs",
                                              "best_first"))
 def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
                obs_aabb_rows, obs_sub, *, num_rob_tiles, num_obs_tiles,
                rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                interpret=False, sweep=True, stats=True, stage_cap=2,
-               hot_thresh=1024.0, slab_sweep=False, best_first=True):
+               hot_thresh=1024.0, contact_slabs=False, best_first=True):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
     assert obs_tile % _SLAB == 0, obs_tile
@@ -1280,7 +1201,7 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
         _kernel, num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         sweep=sweep, stats=stats, stage_cap=stage_cap, hot_thresh=hot_thresh,
-        slab_sweep=slab_sweep, best_first=best_first,
+        contact_slabs=contact_slabs, best_first=best_first,
     )
     return pl.pallas_call(
         kernel,
@@ -1373,13 +1294,13 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
                                              "rob_tile", "obs_tile",
                                              "inner_exit", "interpret",
                                              "sweep", "stage_cap",
-                                             "hot_thresh", "slab_sweep",
+                                             "hot_thresh", "contact_slabs",
                                              "best_first"))
 def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
                         obs_aabb_rows, obs_sub, *, num_rob_tiles,
                         num_obs_tiles, rob_tile=LANE, obs_tile=LANE,
                         inner_exit=True, interpret=False, sweep=True,
-                        stage_cap=2, hot_thresh=1024.0, slab_sweep=False,
+                        stage_cap=2, hot_thresh=1024.0, contact_slabs=False,
                         best_first=True):
     # stats=False: verdict bits only — drops the per-tile pair-count
     # reduction and one cond level per gated tile (a measured ~2x sweep
@@ -1394,7 +1315,8 @@ def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         interpret=interpret, sweep=sweep, stats=False, stage_cap=stage_cap,
-        hot_thresh=hot_thresh, slab_sweep=slab_sweep, best_first=best_first,
+        hot_thresh=hot_thresh, contact_slabs=contact_slabs,
+        best_first=best_first,
     )
     return (out[:, 0] | (out[:, 1] << 1)).astype(jnp.uint8)
 
@@ -1490,7 +1412,8 @@ class MegaKernelChecker:
 
     def __init__(self, robot: Mesh, obstacle: Mesh, morton: bool = True,
                  interpret: bool = False, rob_tile: int = LANE,
-                 obs_tile: int = LANE):
+                 obs_tile: int = LANE, contact_slabs: bool = False):
+        self._contact_slabs = contact_slabs
         self.robot = robot
         self.obstacle = obstacle
         self.prep = MegaKernelPrep.build(robot, obstacle, morton=morton,
@@ -1624,6 +1547,7 @@ class MegaKernelChecker:
                         num_obs_tiles=self.prep.num_obs_tiles,
                         rob_tile=self.prep.rob_tile,
                         obs_tile=self.prep.obs_tile,
+                        contact_slabs=self._contact_slabs,
                         interpret=self._interpret,
                     )
                 )
@@ -1652,6 +1576,7 @@ class MegaKernelChecker:
                     num_obs_tiles=self.prep.num_obs_tiles,
                     rob_tile=self.prep.rob_tile,
                     obs_tile=self.prep.obs_tile,
+                    contact_slabs=self._contact_slabs,
                     interpret=self._interpret,
                 )
             )

@@ -70,22 +70,50 @@ def covering_radius(mesh: Mesh) -> float:
     return float(e.max() / _SQRT3)
 
 
+# Subdivided meshes are pure functions of (base mesh, levels) and a refine-7
+# build touches 16.5M triangles — cache the handful of levels a multires
+# certificate walks so the raw and smoothed legs don't rebuild them. Values
+# keep the base mesh alive, so the id() key stays valid.
+_SUBDIV_CACHE: dict = {}
+
+
 def subdivide_mesh(mesh: Mesh, levels: int = 1) -> Mesh:
     """Loop-topology 1->4 triangle subdivision (midpoint, no smoothing):
-    same surface, 4x triangles per level — shrinks ``covering_radius`` 2x
-    per level, tightening the certificate floor at sampling cost.
-    Vectorized (np.unique edge dedup), so refine-7 robots (16.5M
-    triangles, the scale a razor-thin passage certificate needs) build in
-    seconds instead of minutes of Python loops."""
+    same surface, 4x triangles per level — shrinks ``covering_radius``
+    EXACTLY 2x per level (every child edge is half of a parent edge: the
+    medial triangle's edges are parallel halves, corner triangles reuse
+    half-edges), tightening the certificate floor at sampling cost.
+    Vectorized, with edges deduplicated as scalar int64 codes (np.unique
+    on a 1-D array — the axis=0 row-unique this replaces was the dominant
+    cost of a refine-7 build)."""
+    key = (id(mesh), levels)
+    hit = _SUBDIV_CACHE.get(key)
+    if hit is not None and hit[0] is mesh:
+        return hit[1]
+    if levels > 1:
+        # Chain through the cache: a 2->4->6->7 multires ladder then costs
+        # one pass up the ladder total, not a from-scratch rebuild per
+        # level (refine-7 from scratch is ~27 s of host time).
+        prev = subdivide_mesh(mesh, levels - 1)
+        out = subdivide_mesh(prev, 1)
+        out = Mesh(out.vertices, out.triangles, name=f"{mesh.name}/sub")
+        if len(_SUBDIV_CACHE) > 8:
+            _SUBDIV_CACHE.clear()
+        _SUBDIV_CACHE[key] = (mesh, out)
+        return out
     v = mesh.vertices.astype(np.float64)
     f = mesh.triangles.astype(np.int64)
     for _ in range(levels):
         t = len(f)
         e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
-        e = np.sort(e, axis=1)
-        uniq, inv = np.unique(e, axis=0, return_inverse=True)
+        lo = e.min(axis=1)
+        hi = e.max(axis=1)
+        code = lo * np.int64(len(v) + 1) + hi  # unique scalar per edge
+        uniq_code, inv = np.unique(code, return_inverse=True)
+        u_lo = uniq_code // np.int64(len(v) + 1)
+        u_hi = uniq_code % np.int64(len(v) + 1)
         mid_idx = len(v) + inv  # [3T] midpoint vertex index per edge slot
-        v = np.concatenate([v, (v[uniq[:, 0]] + v[uniq[:, 1]]) / 2.0])
+        v = np.concatenate([v, (v[u_lo] + v[u_hi]) / 2.0])
         ab, bc, ca = mid_idx[:t], mid_idx[t : 2 * t], mid_idx[2 * t :]
         a, b, c = f[:, 0], f[:, 1], f[:, 2]
         f = np.concatenate([
@@ -94,8 +122,12 @@ def subdivide_mesh(mesh: Mesh, levels: int = 1) -> Mesh:
             np.stack([ca, bc, c], axis=1),
             np.stack([ab, bc, ca], axis=1),
         ])
-    return Mesh(v.astype(np.float32), f.astype(np.int32),
-                name=f"{mesh.name}/sub")
+    out = Mesh(v.astype(np.float32), f.astype(np.int32),
+               name=f"{mesh.name}/sub")
+    if len(_SUBDIV_CACHE) > 8:
+        _SUBDIV_CACHE.clear()
+    _SUBDIV_CACHE[key] = (mesh, out)
+    return out
 
 
 @dataclasses.dataclass
@@ -106,14 +138,23 @@ class SweptCertificate:
     collision: bool  # a boolean check FAILED (path definitely invalid)
     num_checks: int  # exact boolean checks spent
     num_steps: int  # final number of certified steps
-    # Worst conservative surface clearance seen at any sampled configuration
-    # (lower-bounded distance minus that certifier's r_cov) — a sound lower
-    # bound on the path's sampled surface clearance. Multi-level runs report
-    # the min over levels of each level's own conservative value (no
-    # cross-level r_cov mixing).
+    # The proof's worst certifying margin: min over PROVEN steps of the
+    # certifying endpoint's conservative surface clearance (lower-bounded
+    # distance minus that certifier's r_cov). Every proven step's swept
+    # ball fits inside this clearance, so it is a sound lower bound on the
+    # clearance the certificate actually relies on. Multi-level runs take
+    # the min over levels, each step counted at the level that proved it
+    # (no cross-level r_cov mixing). NaN when nothing was proven.
     min_clearance: float
     method_floor: float  # e_g + r_cov: clearances below this can't certify
     uncertified_steps: int  # steps still unproven at max depth
+    # Worst conservative surface clearance seen at ANY sampled
+    # configuration of this certifier's own level (diagnostic: for an
+    # uncertified result this is the measured gap statement — how close to
+    # the floor the path actually sits). Multi-level runs report the
+    # final-run level's value (coarse levels' hopeless negatives are not
+    # meaningful gaps).
+    min_seen_clearance: float = float("nan")
     # Final (subdivided) path and per-step proof mask — lets a coarser
     # certifier hand its unproven segments to a finer one (certify_multires).
     path: np.ndarray | None = None
@@ -141,10 +182,22 @@ class SweptCertifier:
         self.obstacle = obstacle
         self.exact = exact
         self._engine = None
-        self.r_cov = covering_radius(self.robot)
-        self.r_max = float(
-            np.linalg.norm(self.robot.vertices.astype(np.float64), axis=1).max()
-        )
+        if refine:
+            # Midpoint subdivision halves every edge exactly, so the
+            # refined covering radius is the base's / 2^refine — no need
+            # to materialize 16.5M triangle-vertex rows to measure it.
+            # The 1e-5 relative inflation covers float32 vertex-storage
+            # rounding of the refined mesh the engine actually samples.
+            self.r_cov = (covering_radius(robot) / (2.0 ** refine)
+                          ) * (1.0 + 1e-5) + 1e-12
+            # Midpoints are convex combinations: the base's max |v| bounds
+            # the refined mesh's.
+            self.r_max = float(np.linalg.norm(
+                robot.vertices.astype(np.float64), axis=1).max())
+        else:
+            self.r_cov = covering_radius(self.robot)
+            self.r_max = float(np.linalg.norm(
+                self.robot.vertices.astype(np.float64), axis=1).max())
         if exact and backend == "tpu":
             # Exact surface distances on the ACCELERATOR
             # (`planner/clearance.py`): batched posed-vertex-block vs
@@ -289,7 +342,12 @@ class SweptCertifier:
             return SweptCertificate(False, True, num_checks, len(path) - 1,
                                     float("nan"), self.floor(), 0)
         clear = self.clearances(path)
-        min_clear = float(clear.min())
+        min_seen = float(clear.min())
+
+        def proven_margin(pairmax, proven):
+            vals = pairmax[proven]
+            return float(vals.min()) if len(vals) else float("nan")
+
         for _ in range(max_depth):
             delta = self.step_bounds(path)
             # A step certifies from EITHER endpoint's clearance ball.
@@ -297,8 +355,10 @@ class SweptCertifier:
             ok = (pairmax > delta) | ~real
             if ok.all():
                 return SweptCertificate(True, False, num_checks,
-                                        int(real.sum()), min_clear,
-                                        self.floor(), 0)
+                                        int(real.sum()),
+                                        proven_margin(pairmax, real),
+                                        self.floor(), 0,
+                                        min_seen_clearance=min_seen)
             # HOPELESS steps — conservative clearance <= 0 at both
             # endpoints — can never certify at THIS sampling level no
             # matter how small delta gets; splitting them doubles work
@@ -319,10 +379,10 @@ class SweptCertifier:
             num_checks += len(mids)
             if not mvalid.all():
                 return SweptCertificate(False, True, num_checks,
-                                        len(path) - 1, min_clear,
+                                        len(path) - 1, float("nan"),
                                         self.floor(), 0)
             mclear = self.clearances(mids)
-            min_clear = min(min_clear, float(mclear.min()))
+            min_seen = min(min_seen, float(mclear.min()))
             new_path = np.empty((len(path) + len(bad), 6), dtype=np.float32)
             new_clear = np.empty(len(path) + len(bad), dtype=np.float64)
             ins = bad + 1 + np.arange(len(bad))
@@ -338,11 +398,14 @@ class SweptCertifier:
             real = np.repeat(real, counts)
             path, clear = new_path, new_clear
         delta = self.step_bounds(path)
-        ok = (np.maximum(clear[:-1], clear[1:]) > delta) | ~real
+        pairmax = np.maximum(clear[:-1], clear[1:])
+        ok = (pairmax > delta) | ~real
         return SweptCertificate(bool(ok.all()), False, num_checks,
-                                int(real.sum()), min_clear, self.floor(),
-                                int((~ok).sum()), path=path, step_ok=ok,
-                                step_real=real)
+                                int(real.sum()),
+                                proven_margin(pairmax, ok & real),
+                                self.floor(), int((~ok).sum()), path=path,
+                                step_ok=ok, step_real=real,
+                                min_seen_clearance=min_seen)
 
 
 def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
@@ -375,8 +438,12 @@ def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
     segments = [np.asarray(path, np.float32)]
     last_floor = float("nan")
     for li, (refine, max_depth) in enumerate(levels):
+        import time as _time
+
+        t_level = _time.perf_counter()
         cert = SweptCertifier(robot, obstacle, refine=refine, exact=True,
                               backend=backend, mesh=mesh)
+        t_built = _time.perf_counter() - t_level
         last_floor = cert.floor()
         # One batched call for the whole level: concatenate segments and
         # mask out the junction steps between them.
@@ -392,12 +459,29 @@ def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
         if np.isfinite(res.min_clearance):
             min_clear = min(min_clear, res.min_clearance)
         mc = min_clear if np.isfinite(min_clear) else float("nan")
+
+        def _report(tag):
+            if not verbose:
+                return
+            eng = getattr(cert, "_engine", None)
+            es = (", engine[" + ", ".join(
+                f"{k}={v:.1f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in eng.stats.items()) + "]"
+                if eng is not None else "")
+            print(f"  level {li} (refine={refine}, floor="
+                  f"{cert.floor():.3f}): {tag}, {total_checks} checks so "
+                  f"far, {_time.perf_counter() - t_level:.1f}s "
+                  f"(build {t_built:.1f}s){es}", flush=True)
+
         if res.collision:
+            _report("REFUTED")
             return SweptCertificate(False, True, total_checks, 0,
                                     float("nan"), cert.floor(), 0)
         if res.certified:
-            return SweptCertificate(True, False, total_checks,
-                                    len(path) - 1, mc, cert.floor(), 0)
+            _report("all segments certified")
+            return SweptCertificate(
+                True, False, total_checks, len(path) - 1, mc, cert.floor(),
+                0, min_seen_clearance=res.min_seen_clearance)
         # Merge adjacent unproven real steps into contiguous segments for
         # the next level (junction steps are never unproven-real, so runs
         # cannot bleed across segment boundaries).
@@ -415,15 +499,14 @@ def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
                 start = end = b
         if start is not None:
             next_segments.append(p[start : end + 2])
-        if verbose:
-            print(f"  level {li} (refine={refine}, floor="
-                  f"{cert.floor():.3f}): {len(next_segments)} unproven "
-                  f"segment(s) remain, {total_checks} checks so far",
-                  flush=True)
+        _report(f"{len(next_segments)} unproven segment(s) remain")
         segments = next_segments
         if not segments:
-            return SweptCertificate(True, False, total_checks, len(path) - 1,
-                                    mc, cert.floor(), 0)
+            return SweptCertificate(
+                True, False, total_checks, len(path) - 1, mc, cert.floor(),
+                0, min_seen_clearance=res.min_seen_clearance)
+        last_seen = res.min_seen_clearance
     return SweptCertificate(False, False, total_checks, len(path) - 1,
                             min_clear, last_floor,
-                            sum(len(s) - 1 for s in segments))
+                            sum(len(s) - 1 for s in segments),
+                            min_seen_clearance=last_seen)

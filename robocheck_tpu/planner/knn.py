@@ -13,8 +13,9 @@ order approximates arc order; candidates are oversampled in chord space
 and re-ranked with the exact metric. The incremental 1-NN is EXACT:
 exact >= chord, so whenever the last fetched candidate's chord distance
 is below the best exact distance found, the (rare) query falls back to a
-dense scan. k-NN is near-exact (candidate-horizon ties only); the
-planners only need near-neighbors there.
+dense scan. ``conf_knn`` applies the same bound per row (dense rescan of
+any row whose k-th exact distance exceeds the candidate horizon's chord
+distance), so both queries are EXACT.
 """
 from __future__ import annotations
 
@@ -54,15 +55,22 @@ def conf_knn(verts: np.ndarray, k: int, rot_scale: float,
     """
     n = len(verts)
     k = min(k, n - 1)
+    if k <= 0:
+        return (np.empty((n, 0), np.int64), np.empty((n, 0), np.float64))
     kq = min(n, oversample * k + 1)
+    horizon = np.full(n, np.inf)
     try:
         from scipy.spatial import cKDTree
 
         emb = chord_embed(verts, rot_scale)
         tree = cKDTree(emb)
-        _, idx = tree.query(emb, k=kq)  # [n, kq], col 0 = self
-    except ImportError:  # dense fallback (row-chunked argpartition)
-        idx = np.empty((n, kq), np.int64)
+        cd, idx = tree.query(emb, k=kq)  # [n, kq], col 0 = self
+        if kq < n:
+            # Chord radius of the fetched candidate set: any point outside
+            # it has chord >= horizon, hence exact >= horizon.
+            horizon = cd[:, -1]
+    except ImportError:  # dense fallback is exact already (argpartition
+        idx = np.empty((n, kq), np.int64)  # on the exact metric)
         row_chunk = max(1, min(n, (1 << 22) // max(n, 1)))
         for s in range(0, n, row_chunk):
             e = min(s + row_chunk, n)
@@ -75,8 +83,23 @@ def conf_knn(verts: np.ndarray, k: int, rot_scale: float,
                       verts[:, None, :].astype(np.float64), rot_scale)
     d[cand == np.arange(n)[:, None]] = np.inf
     order = np.argsort(d, axis=1)[:, :k]
-    return (np.take_along_axis(cand, order, axis=1),
-            np.take_along_axis(d, order, axis=1))
+    nbrs = np.take_along_axis(cand, order, axis=1)
+    dk = np.take_along_axis(d, order, axis=1)
+    # Exactness fallback (same argument as IncrementalNearest): a
+    # truly-nearer neighbor can hide outside the chord candidate horizon
+    # only if the row's k-th exact distance exceeds the horizon's chord
+    # distance (chord underestimates arc by up to pi/2, so rotation-heavy
+    # rows can crowd the oversampled candidate list). Rescan those rows
+    # densely — rare in practice, and it makes conf_knn EXACT.
+    bad = np.nonzero(dk[:, -1] > horizon)[0]
+    if len(bad):
+        dd = conf_distance(verts[bad, None, :].astype(np.float64),
+                           verts[None, :, :].astype(np.float64), rot_scale)
+        dd[np.arange(len(bad)), bad] = np.inf
+        o = np.argsort(dd, axis=1)[:, :k]
+        nbrs[bad] = o
+        dk[bad] = np.take_along_axis(dd, o, axis=1)
+    return nbrs, dk
 
 
 class IncrementalNearest:

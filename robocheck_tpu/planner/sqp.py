@@ -82,6 +82,7 @@ class SQPOptimizer:
 
         self.robot = robot
         self.obstacle = obstacle
+        self._cert_pool = None
         self.cfg = config or SQPConfig()
         cfg = self.cfg
         self.grid = grid if grid is not None else build_distance_grid(
@@ -234,6 +235,20 @@ class SQPOptimizer:
     def _merit(self, q: jnp.ndarray, mu: float) -> float:
         return float(self._smooth_cost(q)) + mu * self._penalty_total(q)
 
+    def _certify_submit(self, traj: np.ndarray):
+        """Run `_certify` on a worker thread: the verdict fetch (a full
+        link round trip on tethered deployments, ~25-70 ms) overlaps the
+        NEXT penalty round's constraint-block dispatches instead of
+        stalling the optimizer between rounds (BASELINE.json's p50-vs-
+        budget metric; bench.py LATENCY_BUDGET_MS). jax dispatch is
+        thread-safe; the speculative outer iteration a passing verdict
+        wastes costs ~one subproblem (~ms)."""
+        if self._cert_pool is None:
+            import concurrent.futures as _cf
+
+            self._cert_pool = _cf.ThreadPoolExecutor(max_workers=1)
+        return self._cert_pool.submit(self._certify, traj)
+
     def _certify(self, traj: np.ndarray) -> bool:
         step = self.cfg.certify_step
         if step is None:
@@ -298,10 +313,21 @@ class SQPOptimizer:
             q[-1] = snap_endpoint_branch(goal, q[-1])
 
         qj = jnp.asarray(q)
+        pending = None  # (future, traj, outer, mu) certification in flight
         for rnd in range(start_round, cfg.max_penalty_rounds):
             for _ in range(cfg.max_outer):
                 outer += 1
                 g0, J, tot = self._constraint_blocks(qj)
+                # Harvest the previous round's in-flight certification
+                # AFTER dispatching this round's constraint blocks, so the
+                # verdict's link round trip hides behind device work.
+                if pending is not None:
+                    fut, ptraj, pouter, pmu = pending
+                    pending = None
+                    if fut.result():
+                        return SQPResult(ptraj, True, pouter,
+                                         self._merit(jnp.asarray(ptraj),
+                                                     pmu))
                 dq = self._solve_subproblem(qj, g0, J, jnp.float32(mu),
                                             jnp.float32(delta))
                 # merit(qj) reuses the penalty total the block evaluation
@@ -318,11 +344,23 @@ class SQPOptimizer:
                 if outer % cfg.checkpoint_every == 0:
                     self._checkpoint(qj, mu, delta, outer, rnd)
             traj = np.asarray(qj)
-            if self._certify(traj):
-                return SQPResult(traj, True, outer, self._merit(qj, mu))
-            mu *= cfg.penalty_growth
-            delta = cfg.trust_init
-            self._checkpoint(qj, mu, delta, outer, rnd + 1)
+            if rnd + 1 < cfg.max_penalty_rounds:
+                # Dispatch certification asynchronously and speculatively
+                # begin the next penalty round; harvested at that round's
+                # first iteration (above).
+                pending = (self._certify_submit(traj), traj, outer, mu)
+                mu *= cfg.penalty_growth
+                delta = cfg.trust_init
+                self._checkpoint(qj, mu, delta, outer, rnd + 1)
+            else:
+                if self._certify(traj):
+                    return SQPResult(traj, True, outer,
+                                     self._merit(qj, mu))
+        if pending is not None:  # max_outer == 0 edge: nothing harvested it
+            fut, ptraj, pouter, pmu = pending
+            if fut.result():
+                return SQPResult(ptraj, True, pouter,
+                                 self._merit(jnp.asarray(ptraj), pmu))
         traj = np.asarray(qj)
         return SQPResult(traj, self._certify(traj), outer,
                          self._merit(qj, mu))

@@ -48,10 +48,14 @@ def initialize_from_env() -> None:
             process_id=int(pid),
         )
     except RuntimeError as e:
-        # jax's double-init message is "distributed.initialize should only
-        # be called once."; be liberal about phrasing across releases.
+        # Swallow ONLY jax's double-init error ("distributed.initialize
+        # should only be called once." / "already initialized"). Bare
+        # "once"/"already" substrings used to match here, which silently
+        # ate genuine failures like a coordinator bind error ("address
+        # already in use") and left the process uninitialized.
         msg = str(e).lower()
-        if "once" not in msg and "already" not in msg:
+        if ("called once" not in msg
+                and "already initialized" not in msg):
             raise
 
 

@@ -86,6 +86,26 @@ def test_incremental_nearest_chord_gap_regression():
     np.testing.assert_allclose(gd[0], 0.88, rtol=1e-6)
 
 
+def test_knn_chord_gap_rescan_makes_exact():
+    # conf_knn twin of the IncrementalNearest regression: rotation-only
+    # nodes (chord 2*sin(0.45) ~= 0.870 < exact 0.9) crowd the oversampled
+    # chord candidate list of the origin row, while the true nearest — a
+    # translation-only node at 0.88 (chord == exact) — is never fetched.
+    # The per-row horizon check must trigger the dense rescan.
+    nodes = np.zeros((12, 6), np.float32)
+    nodes[1:11, 3] = 0.9  # rotation-only crowd
+    nodes[11, 0] = 0.88  # translation-only: the true nearest to row 0
+    nbrs, dists = conf_knn(nodes, 1, 1.0, oversample=3)
+    assert nbrs[0, 0] == 11
+    np.testing.assert_allclose(dists[0, 0], 0.88, rtol=1e-6)
+    # Full-row agreement with brute force under rot_scale=1.
+    d = conf_distance(nodes[:, None, :].astype(np.float64),
+                      nodes[None, :, :].astype(np.float64), 1.0)
+    np.fill_diagonal(d, np.inf)
+    np.testing.assert_allclose(
+        dists[:, 0], d.min(axis=1), rtol=1e-9, atol=1e-12)
+
+
 def test_knn_scales_to_roadmap_sizes():
     # The round-3 dense sweep was ~10^10 distance evals at 100k samples;
     # the KD path must do 50k in seconds (loose wall-clock bound so slow

@@ -149,10 +149,10 @@ def test_morton_off_same_verdicts(sphere_world, sphere_confs):
     np.testing.assert_array_equal(va, vb)
 
 
-def test_slab_sweep_same_verdicts(sphere_world, sphere_confs):
-    # The opt-in decision-free slab cold pass (falsified as a default on
-    # v5e, kept for other deployments) must produce bit-identical packed
-    # verdicts to the per-tile flow.
+def test_contact_slabs_same_verdicts(sphere_world, sphere_confs):
+    # The slab-granular contact-tile flow (best-first visit processes only
+    # candidate [16 x 128] slabs) must produce bit-identical packed
+    # verdicts to the full per-tile flow.
     import jax.numpy as jnp
 
     from robocheck_tpu.kernels import megakernel as mk
@@ -165,13 +165,13 @@ def test_slab_sweep_same_verdicts(sphere_world, sphere_confs):
     confs[:, 0] = 1.0e9
     confs[: len(sphere_confs)] = sphere_confs
 
-    def packed(slab):
+    def packed(contact):
         return np.asarray(mk._check_block_packed(
             jnp.asarray(confs), ck._obs_mesh, ck._obs_grp, ck._rob_base,
             ck._obs_t, ck._obs_aabb_rows, ck._obs_sub,
             num_rob_tiles=ck.prep.num_rob_tiles,
             num_obs_tiles=ck.prep.num_obs_tiles,
-            slab_sweep=slab, interpret=True,
+            contact_slabs=contact, interpret=True,
         ))
 
     np.testing.assert_array_equal(packed(True), packed(False))
