@@ -213,7 +213,7 @@ class TpuClearanceEngine:
         if mesh is not None:
             self._ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
 
-        self._bounds_jit = {}
+        self._bounds_jit = None
         self._exact_jit = {}
         # Wall-clock accounting (read by certify_multires verbose mode and
         # the bench's clearance leg).
@@ -237,67 +237,75 @@ class TpuClearanceEngine:
         return 128.0 * _F32_EPS * scale
 
     # -- jitted device functions -------------------------------------------
-    def _bounds_fn(self, bp: int):
-        """(LB, Drep)[b, block]: AABB lower bound per (config, block) plus
-        each block representative vertex's EXACT distance (U = Drep.min
-        seeds the cull; it is an attained vertex distance, so it also
-        participates in the final answer)."""
-        if bp in self._bounds_jit:
-            return self._bounds_jit[bp]
+    def _bounds_fn(self):
+        """(LB, Drep) for a FIXED-size config chunk: AABB lower bound per
+        (config, block) plus each block representative vertex's EXACT
+        distance (U = Drep.min seeds the cull; it is an attained vertex
+        distance, so it also participates in the final answer).
+
+        One fixed chunk shape -> ONE compile per engine; the caller loops
+        chunks on the host, dispatching asynchronously. Mesh tables are
+        ARGUMENTS, not closure constants: XLA folds closed-over arrays
+        into the executable, and that made compile time scale with mesh
+        size (39 s at refine 7 for the 99 MB block table)."""
+        if self._bounds_jit is not None:
+            return self._bounds_jit
         nb = self.num_blocks
-        ngo = self.num_groups
-        # Keep the [cc, nb, max(ngo, TRI_CHUNK)] temporaries around 8 MB.
-        cc = max(1, (1 << 21) // max(nb * max(ngo, TRI_CHUNK), 1))
-        steps = math.ceil(bp / cc)
-        bcent, bhalf = self._bcent, self._bhalf
-        glo, ghi = self._glo, self._ghi
-        reps = self._blocks[:, 0, :]  # [nb, 3]
-        otri = self._otri
 
         @jax.jit
-        def fn(confs):  # [bp,6] -> ([bp, nb], [bp, nb]) f32
-            confs = _pad_to_jnp(confs, steps * cc)
-            R = rotation_matrices(confs)  # [B,3,3]
-            t = confs[:, 0:3]
+        def fn(confs, bcent, bhalf, glo, ghi, reps, otri):  # [cc,6] -> 2x[cc,nb]
+            Rc = rotation_matrices(confs)
+            tc = confs[:, 0:3]
+            c = _apply_rot(Rc[:, None], bcent[None]) + tc[:, None, :]
+            h = _apply_rot(jnp.abs(Rc)[:, None], bhalf[None])
+            blo = (c - h)[:, :, None, :]  # [cc,nb,1,3]
+            bhi = (c + h)[:, :, None, :]
+            gap = jnp.maximum(glo[None, None] - bhi, 0.0) + jnp.maximum(
+                blo - ghi[None, None], 0.0)
+            d = jnp.sqrt(jnp.sum(gap * gap, axis=-1))  # [cc,nb,ngo]
 
-            def body(args):
-                Rc, tc = args  # [cc,3,3], [cc,3]
-                c = _apply_rot(Rc[:, None], bcent[None]) + tc[:, None, :]
-                h = _apply_rot(jnp.abs(Rc)[:, None], bhalf[None])
-                blo = (c - h)[:, :, None, :]  # [cc,nb,1,3]
-                bhi = (c + h)[:, :, None, :]
-                gap = jnp.maximum(glo[None, None] - bhi, 0.0) + jnp.maximum(
-                    blo - ghi[None, None], 0.0)
-                d = jnp.sqrt(jnp.sum(gap * gap, axis=-1))  # [cc,nb,ngo]
+            pr = _apply_rot(Rc[:, None], reps[None]) + tc[:, None, :]
 
-                pr = _apply_rot(Rc[:, None], reps[None]) + tc[:, None, :]
+            def step(carry, tri_chunk):  # [TRI_CHUNK,3,3]
+                d2 = _point_tri_d2(pr[:, :, None, :],
+                                   tri_chunk[None, None])
+                return jnp.minimum(carry, jnp.min(d2, axis=2)), None
 
-                def step(carry, tri_chunk):  # [TRI_CHUNK,3,3]
-                    d2 = _point_tri_d2(pr[:, :, None, :],
-                                       tri_chunk[None, None])
-                    return jnp.minimum(carry, jnp.min(d2, axis=2)), None
+            init = jnp.full((pr.shape[0], nb), jnp.inf, jnp.float32)
+            m2, _ = jax.lax.scan(step, init, otri)
+            return jnp.min(d, axis=-1), jnp.sqrt(m2)
 
-                init = jnp.full((pr.shape[0], nb), jnp.inf, jnp.float32)
-                m2, _ = jax.lax.scan(step, init, otri)
-                return jnp.min(d, axis=-1), jnp.sqrt(m2)
-
-            lb, dr = jax.lax.map(
-                body, (R.reshape(steps, cc, 3, 3), t.reshape(steps, cc, 3)))
-            return lb.reshape(-1, nb)[:bp], dr.reshape(-1, nb)[:bp]
-
-        self._bounds_jit[bp] = fn
+        self._bounds_jit = fn
         return fn
+
+    def _bounds(self, confs: np.ndarray):
+        """Host-chunked async (LB, Drep) over any batch size."""
+        b = len(confs)
+        # Keep the [cc, nb, max(ngo, TRI_CHUNK)] temporaries around 8 MB.
+        cc = max(1, (1 << 21) // max(
+            self.num_blocks * max(self.num_groups, TRI_CHUNK), 1))
+        fn = self._bounds_fn()
+        tables = (self._bcent, self._bhalf, self._glo, self._ghi,
+                  self._blocks[:, 0, :], self._otri)
+        futs = []
+        for lo in range(0, b, cc):
+            part = _pad_to(confs[lo:lo + cc], cc, confs[lo])
+            futs.append(fn(jnp.asarray(part), *tables))
+        lb = np.concatenate(
+            [np.asarray(f[0], dtype=np.float64) for f in futs])[:b]
+        dr = np.concatenate(
+            [np.asarray(f[1], dtype=np.float64) for f in futs])[:b]
+        return lb, dr
 
     def _exact_fn(self, kc: int):
         """[kc] pair batch -> per-pair block min distance."""
         if kc in self._exact_jit:
             return self._exact_jit[kc]
-        blocks, otri = self._blocks, self._otri
         # Keep the [sub, BLOCK, TRI_CHUNK] temporaries around 16 MB.
         sub = 32
         assert kc % sub == 0
 
-        def pair_mins(confs_sel, block_ids):  # [k,6],[k] -> [k]
+        def pair_mins(confs_sel, block_ids, blocks, otri):  # [k,6],[k]->[k]
             k = confs_sel.shape[0]
             R = rotation_matrices(confs_sel)
             t = confs_sel[:, 0:3]
@@ -325,7 +333,8 @@ class TpuClearanceEngine:
             axes = tuple(self._mesh.axis_names)
             spec = P(axes[0] if len(axes) == 1 else axes)
             fn = jax.jit(jax.shard_map(
-                pair_mins, mesh=self._mesh, in_specs=(spec, spec),
+                pair_mins, mesh=self._mesh,
+                in_specs=(spec, spec, P(), P()),
                 out_specs=spec, check_vma=False))
         else:
             fn = jax.jit(pair_mins)
@@ -358,7 +367,8 @@ class TpuClearanceEngine:
             n = len(ci)
             cs = _pad_to(confs32[ci], kc, confs32[ci[0]])
             bs = _pad_to(bi.astype(np.int32), kc, np.int32(0))
-            futs.append((fn(jnp.asarray(cs), jnp.asarray(bs)), ci, n))
+            futs.append((fn(jnp.asarray(cs), jnp.asarray(bs), self._blocks,
+                            self._otri), ci, n))
         for fut, ci, n in futs:
             d = np.asarray(fut, dtype=np.float64)[:n]
             np.minimum.at(best, ci, d)
@@ -389,13 +399,9 @@ class TpuClearanceEngine:
             return best - err
 
         # Phase 1: AABB lower bounds + representative-vertex distances
-        # (one dispatch). best starts at U — attained vertex distances.
+        # (host-chunked, async). best starts at U — attained distances.
         t0 = _time.perf_counter()
-        bp = 1 << max(0, (b - 1).bit_length())
-        lb_j, dr_j = self._bounds_fn(bp)(
-            jnp.asarray(_pad_to(confs, bp, confs[0])))
-        lb = np.asarray(lb_j, dtype=np.float64)[:b]
-        drep = np.asarray(dr_j, dtype=np.float64)[:b]
+        lb, drep = self._bounds(confs)
         np.minimum(best, drep.min(axis=1), out=best)
         self.stats["bounds_s"] += _time.perf_counter() - t0
 
