@@ -63,6 +63,7 @@ from ..core.types import Mesh
 from ..ops.transform import rotation_matrices
 from ..utils.morton import morton_argsort
 
+
 def _apply_rot(R, v):
     """Rotate [..., 3] vectors by [..., 3, 3] matrices WITHOUT a matmul.
 
@@ -169,7 +170,12 @@ class TpuClearanceEngine:
                  mesh=None, obs_group: int = 32):
         t0 = _time.perf_counter()
         v = np.asarray(robot_vertices, dtype=np.float64)
-        order = morton_argsort(v)
+        # Non-stable argsort: ties in Morton code carry no meaning for
+        # blocking, and numpy's stable uint64 argsort is ~4x slower at the
+        # refine-7 vertex count (8.1 s vs ~2 s for 8.3M points).
+        from ..utils.morton import morton_codes
+
+        order = np.argsort(morton_codes(v))
         v = v[order]
         self.num_vertices = len(v)
         nb = max(1, math.ceil(len(v) / BLOCK))
