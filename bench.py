@@ -171,6 +171,34 @@ def main():
     # ~p97-98).
     p99_ms = lats[int(round(0.99 * (len(lats) - 1)))] * 1e3
 
+    # Clearance-query leg: the TPU clearance engine (`planner/clearance.py`)
+    # that powers the continuous certifier — exact min posed-vertex to
+    # obstacle-surface distances, refine-4 alpha robot (133,902 vertices,
+    # 131 blocks) vs the 1008-triangle obstacle, near-contact poses.
+    clear_cps = None
+    clear_pairs = None
+    try:
+        from robocheck_tpu.planner.ccd import subdivide_mesh
+        from robocheck_tpu.planner.clearance import TpuClearanceEngine
+
+        rob4 = subdivide_mesh(robot, 4)
+        eng = TpuClearanceEngine(rob4.vertices, obstacle)
+        rng = np.random.default_rng(5)
+        cl_confs = rng.uniform(-np.pi, np.pi, (256, 6)).astype(np.float32)
+        center = 0.5 * (obstacle.aabb[:3] + obstacle.aabb[3:])
+        ext = obstacle.aabb[3:] - obstacle.aabb[:3]
+        cl_confs[:, 0:3] = center + rng.uniform(-0.6, 0.6, (256, 3)) * ext
+        eng.min_distances(cl_confs)  # warm / compile
+        for k in eng.stats:
+            eng.stats[k] = 0 if isinstance(eng.stats[k], int) else 0.0
+        t0 = time.perf_counter()
+        eng.min_distances(cl_confs)
+        dt = time.perf_counter() - t0
+        clear_cps = round(len(cl_confs) / dt, 1)
+        clear_pairs = int(eng.stats["pairs"])
+    except Exception as e:  # noqa: BLE001 — secondary leg must not kill
+        print(f"warning: clearance leg failed: {e}", file=sys.stderr)
+
     # Secondary metric: the sparse dataset, measured in a FRESH subprocess
     # with the same warm-up + min-of-5 protocol as the hard leg. Running it
     # warm at the tail of this process inflated round-3's number ~3.5x over
@@ -215,6 +243,8 @@ def main():
         "easy100k_checks_per_s": easy_cps,
         "easy100k_times_s": easy_times,
         "easy100k_mismatches": easy_mismatches,
+        "clearance_configs_per_s": clear_cps,
+        "clearance_pairs_run": clear_pairs,
         "cpu_oracle_baseline_checks_per_s": round(baseline_cps, 1),
         "cpu_oracle_kind": oracle_kind,
         "backend": jax.default_backend(),
