@@ -350,16 +350,6 @@ def _gate_cols(num_rob_tiles: int, num_obs_tiles: int) -> int:
 # candidate test) vs 2.2 gated 128x128 tile visits each paying a ~0.3 us
 # serialized any()->cond decision — so the cold pass dispatches [16 x 128]
 # slabs from precomputed candidate words instead of deciding per tile.
-_SLAB = 16
-
-
-def _slab_scr_rows(num_rob_tiles: int, num_obs_subs: int) -> int:
-    # Row 0: the contact visit's per-slab candidate word; row 1: its packed
-    # verdict sums. (The round-4 slab cold pass kept a word row per robot
-    # tile here; that falsified variant was removed — DESIGN.md receipt.)
-    return 8
-
-
 def _ctz16(word):
     """Count trailing zeros of a scalar int32 known to be nonzero and
     < 2^16. Mosaic's scalar core has no popcount; isolate the lowest set bit
@@ -378,15 +368,12 @@ def _kernel(
     rob_base_ref,  # VMEM [16, Tr]
     obs_t_ref,  # VMEM [To, 24]
     obs_aabb_rows_ref,  # VMEM [6, To] obstacle tri AABBs, row layout
-    obs_sub_ref,  # VMEM [To/_SLAB, 8] per-slab obstacle AABBs (lo3, hi3)
     out_ref,  # VMEM [CONFS_PER_PROGRAM, 128] int32
     rob_d,  # VMEM scratch [CONFS_PER_PROGRAM, 24, Tr]
     misc,  # VMEM scratch [CONFS_PER_PROGRAM, LANE] f32 header: col 0 =
     #        broad flag, 1..6 summaries, 7 probe zero, 8 best-tile code.
     gates_scr,  # VMEM scratch [CONFS_PER_PROGRAM, _gate_cols] f32:
     #        hot gate words then cold gate words (float-encoded ints).
-    slab_scr,  # VMEM scratch [_slab_scr_rows, LANE] f32: contact visit's
-    #        slab candidate word + packed verdict sums (per-config scratch).
     *,
     num_rob_tiles: int,
     num_obs_tiles: int,
@@ -397,7 +384,6 @@ def _kernel(
     stats: bool = True,
     stage_cap: int = 2,
     hot_thresh: float = 1024.0,
-    contact_slabs: bool = False,
     best_first: bool = True,
 ):
     # ---- Stage 1 (vectorized across the block's configurations):
@@ -647,12 +633,12 @@ def _kernel(
     def config_body(cc, _):
         if sweep:
             _one_config(
-                cc, obs_grp_ref, rob_base_ref, obs_t_ref, obs_sub_ref,
-                out_ref, rob_d, misc, gates_scr, slab_scr,
+                cc, obs_grp_ref, rob_base_ref, obs_t_ref,
+                out_ref, rob_d, misc, gates_scr,
                 num_rob_tiles=num_rob_tiles,
                 num_obs_tiles=num_obs_tiles, rob_tile=rob_tile,
                 obs_tile=obs_tile, inner_exit=inner_exit, stats=stats,
-                stage_cap=stage_cap, contact_slabs=contact_slabs,
+                stage_cap=stage_cap,
                 best_first=best_first,
             )
         else:
@@ -679,12 +665,11 @@ def _kernel(
 
 
 def _one_config(
-    cc, obs_grp_ref, rob_base_ref, obs_t_ref, obs_sub_ref, out_ref, rob_d,
-    misc, gates_scr, slab_scr,
+    cc, obs_grp_ref, rob_base_ref, obs_t_ref, out_ref, rob_d,
+    misc, gates_scr,
     *, num_rob_tiles: int, num_obs_tiles: int, rob_tile: int = LANE,
     obs_tile: int = LANE, inner_exit: bool = True, stats: bool = True,
-    stage_cap: int = 2, contact_slabs: bool = False,
-    best_first: bool = True,
+    stage_cap: int = 2, best_first: bool = True,
 ):
     broad_hit = misc[pl.ds(cc, 1), 0:1][0, 0] > 0.0
     # Runtime-false scalar for the stage_cap profiling probes: misc col 7 is
@@ -885,105 +870,6 @@ def _one_config(
             _, carry = jax.lax.while_loop(rob_cond, rob_body, (rw0, carry))
         return carry
 
-    spw = obs_tile // _SLAB  # slabs per obstacle tile
-
-    def contact_tile_body(j, carry, rfield, r_lo, r_hi, tile_mask):
-        """Slab-granular flow for the best-first (contact) tile visit,
-        packed path only. A colliding configuration pays full-tile
-        planes+interval (~1.5 us) in `tile_body` although its contact
-        almost always lives in 1-2 of the tile's eight [16 x 128] slabs
-        (round-4 roofline, DESIGN.md). Here the mini-AABB mask is reduced
-        to a per-slab candidate word with two small matmuls (machinery
-        from the falsified round-4 slab cold pass — see git history /
-        DESIGN.md for its receipt; the pass itself was removed), and
-        planes+interval run per candidate slab only. Scalar stalls stay at
-        two (word read, verdict-sum read) — the same count as the per-tile
-        flow's any(mask)/any(live) syncs. Any maybe-coplanar pair falls
-        back to the exact per-tile flow on this tile, so packed verdicts
-        are bit-identical (`test_contact_slabs_same_verdicts`)."""
-        ooff = pl.multiple_of(j * obs_tile, obs_tile)
-        oblock = obs_t_ref[pl.ds(ooff, obs_tile), :]
-
-        def ocol(c):
-            return oblock[:, c : c + 1]
-
-        mask = tile_mask
-        for k in range(3):
-            mask &= r_lo[k] <= ocol(_O_HI + k)
-            mask &= ocol(_O_LO + k) <= r_hi[k]
-
-        # Candidate word: bit s = slab s has any masked pair. Group-sum
-        # matmul [spw, To] x [To, rt] -> [spw, rt], row-sum, then pack with
-        # a powers-of-two dot (exact in f32: spw <= 8 bits).
-        grow = jax.lax.broadcasted_iota(jnp.int32, (spw, obs_tile), 0)
-        gcol = jax.lax.broadcasted_iota(jnp.int32, (spw, obs_tile), 1)
-        w_grp = ((gcol // _SLAB) == grow).astype(jnp.float32)
-        ones_rt = jnp.ones((rob_tile, 1), jnp.float32)
-        scount = jax.lax.dot(
-            jax.lax.dot(w_grp, mask.astype(jnp.float32)), ones_rt)
-        pw = jax.lax.broadcasted_iota(jnp.int32, (1, spw), 1)
-        w_pow = jax.lax.shift_left(
-            jnp.ones((1, spw), jnp.int32), pw).astype(jnp.float32)
-        word_f = jax.lax.dot(w_pow, (scount > 0.0).astype(jnp.float32))
-        slab_scr[0:1, :] = jnp.broadcast_to(word_f, (1, LANE))
-        word0 = slab_scr[0:1, 0:1][0, 0].astype(jnp.int32)  # stall 1
-
-        def process(c):
-            zero_acc = jnp.zeros((_SLAB, rob_tile), jnp.float32)
-
-            def s_cond(state):
-                return state[0] != 0
-
-            def s_body(state):
-                sw, hv, cv = state
-                s = _ctz16(sw)
-                soff = pl.multiple_of(ooff + s * _SLAB, _SLAB)
-                sblock = obs_t_ref[pl.ds(soff, _SLAB), :]
-
-                def scol(k):
-                    return sblock[:, k : k + 1]
-
-                smask = tile_mask
-                for k in range(3):
-                    smask = smask & (r_lo[k] <= scol(_O_HI + k))
-                    smask = smask & (scol(_O_LO + k) <= r_hi[k])
-                sobs = {"nx": scol(_O_N), "ny": scol(_O_N + 1),
-                        "nz": scol(_O_N + 2), "d": scol(_O_D)}
-                for cc3 in range(3):
-                    sobs[f"c{cc3}x"] = scol(_O_C + 3 * cc3 + 0)
-                    sobs[f"c{cc3}y"] = scol(_O_C + 3 * cc3 + 1)
-                    sobs[f"c{cc3}z"] = scol(_O_C + 3 * cc3 + 2)
-                dist_o, dist_r, live = _tile_planes(rfield, sobs)
-                live = live & smask
-                isect, mcop = _moller_interval_parts(
-                    rfield, sobs, dist_o, dist_r, live)
-                return (sw & (sw - 1), hv + isect.astype(jnp.float32),
-                        cv + mcop.astype(jnp.float32))
-
-            _, hv, cv = jax.lax.while_loop(
-                s_cond, s_body, (word0, zero_acc, zero_acc))
-            ones_s = jnp.ones((1, _SLAB), jnp.float32)
-            s_h = jax.lax.dot(jax.lax.dot(ones_s, hv), ones_rt)  # [1, 1]
-            s_c = jax.lax.dot(jax.lax.dot(ones_s, cv), ones_rt)
-            # One packed verdict scalar: hits + 4096 * maybe-cops (exact:
-            # both sums < 16*128 = 2048, so the encoding stays < 2^24).
-            enc = s_h + jnp.float32(4096.0) * s_c
-            slab_scr[1:2, :] = jnp.broadcast_to(enc, (1, LANE))
-            e = slab_scr[1:2, 0:1][0, 0]  # stall 2
-            cops = jnp.floor(e * jnp.float32(1.0 / 4096.0))
-            hits = e - cops * jnp.float32(4096.0)
-
-            def fallback(c2):
-                # Rare maybe-coplanar pair: exact per-tile flow, identical
-                # FP semantics -> bit-identical packed verdicts.
-                return tile_body(j, c2, rfield, r_lo, r_hi, tile_mask)
-
-            return jax.lax.cond(
-                cops > 0.0, fallback,
-                lambda c2: (c2[0] | (hits > 0.0), c2[1]), c)
-
-        return jax.lax.cond(word0 != 0, process, lambda c: c, carry)
-
     def run_tiles():
         # Dispatch order: (1) the config's BEST tile (argmax estimated pair
         # count, precomputed in stage 1) unconditionally — a colliding
@@ -1000,9 +886,6 @@ def _one_config(
                 ib = (best_code - 1) // num_obs_tiles
                 jb = (best_code - 1) % num_obs_tiles
                 rfield, r_lo, r_hi, tile_mask = load_rob_fields(ib)
-                if contact_slabs and not stats:
-                    return contact_tile_body(jb, c, rfield, r_lo, r_hi,
-                                             tile_mask)
                 return tile_body(jb, c, rfield, r_lo, r_hi, tile_mask)
 
             carry = jax.lax.cond(best_code > 0, visit_best, lambda c: c,
@@ -1043,7 +926,6 @@ class MegaKernelPrep:
     obs_mesh_aabb: np.ndarray  # [1, 8] f32
     obs_group_aabbs: np.ndarray  # [To/obs_tile, 8] f32 per-group AABBs
     obs_aabb_rows: np.ndarray  # [6, To] f32 tri AABBs in row layout
-    obs_sub: np.ndarray  # [To/_SLAB, 8] f32 per-slab AABBs (lo3, hi3, 0, 0)
     num_rob_tiles: int
     num_obs_tiles: int
     rob_tile: int = LANE
@@ -1115,22 +997,6 @@ class MegaKernelPrep:
                 obs_grp[g, 0:3] = obs_tv[lo:hi].reshape(-1, 3).min(axis=0)
                 obs_grp[g, 3:6] = obs_tv[lo:hi].reshape(-1, 3).max(axis=0)
 
-        # Per-SLAB (16-triangle) obstacle AABBs for the cold pass's
-        # decision-free slab sweep (`_one_config.cold_slab`): Morton
-        # ordering keeps these tight; gate_study.py measured 3.4 candidate
-        # slabs per valid broad-hit configuration under the tri-box-vs-slab
-        # test vs 1.55 exact. Cols: lo x/y/z, hi x/y/z, 0, 0.
-        n_subs = to // _SLAB
-        obs_sub = np.zeros((n_subs, 8), dtype=np.float32)
-        obs_sub[:, 0:3] = np.inf
-        obs_sub[:, 3:6] = -np.inf
-        for g in range(n_subs):
-            lo = g * _SLAB
-            hi = min((g + 1) * _SLAB, obs_tv.shape[0])
-            if hi > lo:
-                obs_sub[g, 0:3] = obs_tv[lo:hi].reshape(-1, 3).min(axis=0)
-                obs_sub[g, 3:6] = obs_tv[lo:hi].reshape(-1, 3).max(axis=0)
-
         # VMEM residency check: the kernel keeps the full mesh tables plus
         # derived-field scratch on-chip. Oversized meshes need the streaming
         # design this kernel doesn't implement yet — fail loudly and point at
@@ -1172,7 +1038,6 @@ class MegaKernelPrep:
             obs_mesh_aabb=obs_mesh,
             obs_group_aabbs=obs_grp,
             obs_aabb_rows=obs_aabb_rows,
-            obs_sub=obs_sub,
             num_rob_tiles=tr // rob_tile,
             num_obs_tiles=to // obs_tile,
             rob_tile=rob_tile,
@@ -1184,24 +1049,22 @@ class MegaKernelPrep:
                                              "rob_tile", "obs_tile",
                                              "inner_exit", "interpret",
                                              "sweep", "stats", "stage_cap",
-                                             "hot_thresh", "contact_slabs",
+                                             "hot_thresh",
                                              "best_first"))
 def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
-               obs_aabb_rows, obs_sub, *, num_rob_tiles, num_obs_tiles,
+               obs_aabb_rows, *, num_rob_tiles, num_obs_tiles,
                rob_tile=LANE, obs_tile=LANE, inner_exit=True,
                interpret=False, sweep=True, stats=True, stage_cap=2,
-               hot_thresh=1024.0, contact_slabs=False, best_first=True):
+               hot_thresh=1024.0, best_first=True):
     b = poses.shape[0]
     assert b % CONFS_PER_PROGRAM == 0, (b, CONFS_PER_PROGRAM)
-    assert obs_tile % _SLAB == 0, obs_tile
     tr = rob_base.shape[1]
     to = obs_t.shape[0]
-    n_subs = obs_sub.shape[0]
     kernel = functools.partial(
         _kernel, num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         sweep=sweep, stats=stats, stage_cap=stage_cap, hot_thresh=hot_thresh,
-        contact_slabs=contact_slabs, best_first=best_first,
+        best_first=best_first,
     )
     return pl.pallas_call(
         kernel,
@@ -1215,8 +1078,6 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
             pl.BlockSpec((16, tr), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((to, _O_COLS), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((6, to), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_subs, 8), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((CONFS_PER_PROGRAM, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -1228,9 +1089,6 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
                 (CONFS_PER_PROGRAM, _gate_cols(num_rob_tiles, num_obs_tiles)),
                 jnp.float32,
             ),
-            pltpu.VMEM(
-                (_slab_scr_rows(num_rob_tiles, n_subs), LANE), jnp.float32
-            ),
         ],
         # v5e has 128 MB of VMEM; the default 16 MB scoped limit rejects
         # chunked-checker table sizes (2k robot / 8k obstacle triangles)
@@ -1240,8 +1098,7 @@ def _mega_call(poses, obs_mesh_aabb, obs_group_aabbs, rob_base, obs_t,
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(obs_mesh_aabb, obs_group_aabbs, poses, rob_base, obs_t, obs_aabb_rows,
-      obs_sub)
+    )(obs_mesh_aabb, obs_group_aabbs, poses, rob_base, obs_t, obs_aabb_rows)
 
 
 def poses_from_confs(confs: jnp.ndarray) -> jnp.ndarray:
@@ -1272,7 +1129,7 @@ OUT_COLS = 8
                                              "rob_tile", "obs_tile",
                                              "interpret"))
 def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
-                      obs_aabb_rows, obs_sub, *, num_rob_tiles,
+                      obs_aabb_rows, *, num_rob_tiles,
                       num_obs_tiles, rob_tile=LANE, obs_tile=LANE,
                       interpret=False):
     """Fused block check: pose construction + kernel + column trim, one jit.
@@ -1282,7 +1139,7 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
     needed (profiled as the dominant cost of a hard-dataset run)."""
     out = _mega_call(
         poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
-        obs_aabb_rows, obs_sub,
+        obs_aabb_rows,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile,
         interpret=interpret,
@@ -1294,13 +1151,13 @@ def _check_block_impl(confs, obs_mesh, obs_grp, rob_base, obs_t,
                                              "rob_tile", "obs_tile",
                                              "inner_exit", "interpret",
                                              "sweep", "stage_cap",
-                                             "hot_thresh", "contact_slabs",
+                                             "hot_thresh",
                                              "best_first"))
 def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
-                        obs_aabb_rows, obs_sub, *, num_rob_tiles,
+                        obs_aabb_rows, *, num_rob_tiles,
                         num_obs_tiles, rob_tile=LANE, obs_tile=LANE,
                         inner_exit=True, interpret=False, sweep=True,
-                        stage_cap=2, hot_thresh=1024.0, contact_slabs=False,
+                        stage_cap=2, hot_thresh=1024.0,
                         best_first=True):
     # stats=False: verdict bits only — drops the per-tile pair-count
     # reduction and one cond level per gated tile (a measured ~2x sweep
@@ -1311,12 +1168,11 @@ def _check_block_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
     large-batch throughput on tunneled/tethered deployments."""
     out = _mega_call(
         poses_from_confs(confs), obs_mesh, obs_grp, rob_base, obs_t,
-        obs_aabb_rows, obs_sub,
+        obs_aabb_rows,
         num_rob_tiles=num_rob_tiles, num_obs_tiles=num_obs_tiles,
         rob_tile=rob_tile, obs_tile=obs_tile, inner_exit=inner_exit,
         interpret=interpret, sweep=sweep, stats=False, stage_cap=stage_cap,
-        hot_thresh=hot_thresh, contact_slabs=contact_slabs,
-        best_first=best_first,
+        hot_thresh=hot_thresh, best_first=best_first,
     )
     return (out[:, 0] | (out[:, 1] << 1)).astype(jnp.uint8)
 
@@ -1412,8 +1268,7 @@ class MegaKernelChecker:
 
     def __init__(self, robot: Mesh, obstacle: Mesh, morton: bool = True,
                  interpret: bool = False, rob_tile: int = LANE,
-                 obs_tile: int = LANE, contact_slabs: bool = False):
-        self._contact_slabs = contact_slabs
+                 obs_tile: int = LANE):
         self.robot = robot
         self.obstacle = obstacle
         self.prep = MegaKernelPrep.build(robot, obstacle, morton=morton,
@@ -1422,7 +1277,6 @@ class MegaKernelChecker:
         self._rob_base = jnp.asarray(self.prep.rob_base)
         self._obs_t = jnp.asarray(self.prep.obs_t)
         self._obs_aabb_rows = jnp.asarray(self.prep.obs_aabb_rows)
-        self._obs_sub = jnp.asarray(self.prep.obs_sub)
         self._obs_mesh = jnp.asarray(self.prep.obs_mesh_aabb)
         self._obs_grp = jnp.asarray(self.prep.obs_group_aabbs)
         self._interpret = interpret
@@ -1438,7 +1292,7 @@ class MegaKernelChecker:
         """[B,6] device confs -> [B, OUT_COLS] int32 kernel output."""
         return _check_block_impl(
             confs, self._obs_mesh, self._obs_grp, self._rob_base, self._obs_t,
-            self._obs_aabb_rows, self._obs_sub,
+            self._obs_aabb_rows,
             num_rob_tiles=self.prep.num_rob_tiles,
             num_obs_tiles=self.prep.num_obs_tiles,
             rob_tile=self.prep.rob_tile, obs_tile=self.prep.obs_tile,
@@ -1542,12 +1396,10 @@ class MegaKernelChecker:
                     _check_block_packed(
                         part, self._obs_mesh, self._obs_grp,
                         self._rob_base, self._obs_t, self._obs_aabb_rows,
-                        self._obs_sub,
                         num_rob_tiles=self.prep.num_rob_tiles,
                         num_obs_tiles=self.prep.num_obs_tiles,
                         rob_tile=self.prep.rob_tile,
                         obs_tile=self.prep.obs_tile,
-                        contact_slabs=self._contact_slabs,
                         interpret=self._interpret,
                     )
                 )
@@ -1571,12 +1423,10 @@ class MegaKernelChecker:
                 _check_block_packed(
                     jnp.asarray(part), self._obs_mesh, self._obs_grp,
                     self._rob_base, self._obs_t, self._obs_aabb_rows,
-                    self._obs_sub,
                     num_rob_tiles=self.prep.num_rob_tiles,
                     num_obs_tiles=self.prep.num_obs_tiles,
                     rob_tile=self.prep.rob_tile,
                     obs_tile=self.prep.obs_tile,
-                    contact_slabs=self._contact_slabs,
                     interpret=self._interpret,
                 )
             )

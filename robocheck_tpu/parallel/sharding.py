@@ -63,7 +63,6 @@ class ShardedChecker:
         self._obs_grp = jax.device_put(self.prep.obs_group_aabbs, replicated)
         self._obs_aabb_rows = jax.device_put(self.prep.obs_aabb_rows,
                                              replicated)
-        self._obs_sub = jax.device_put(self.prep.obs_sub, replicated)
         self._conf_sharding = NamedSharding(self.mesh, P(BATCH_AXIS))
 
         prep = self.prep
@@ -71,16 +70,15 @@ class ShardedChecker:
         @functools.partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(BATCH_AXIS), P(), P(), P(), P(), P(), P()),
+            in_specs=(P(BATCH_AXIS), P(), P(), P(), P(), P()),
             out_specs=(P(BATCH_AXIS), P()),
             # pallas_call out_shapes carry no varying-mesh-axis info.
             check_vma=False,
         )
         def _sharded(confs, obs_mesh, obs_grp, rob_base, obs_t,
-                     obs_aabb_rows, obs_sub):
+                     obs_aabb_rows):
             out = mk._check_block_impl(
                 confs, obs_mesh, obs_grp, rob_base, obs_t, obs_aabb_rows,
-                obs_sub,
                 num_rob_tiles=prep.num_rob_tiles,
                 num_obs_tiles=prep.num_obs_tiles,
                 rob_tile=prep.rob_tile, obs_tile=prep.obs_tile,
@@ -103,15 +101,14 @@ class ShardedChecker:
         @functools.partial(
             jax.shard_map,
             mesh=self.mesh,
-            in_specs=(P(BATCH_AXIS), P(), P(), P(), P(), P(), P()),
+            in_specs=(P(BATCH_AXIS), P(), P(), P(), P(), P()),
             out_specs=P(BATCH_AXIS),
             check_vma=False,
         )
         def _sharded_packed(confs, obs_mesh, obs_grp, rob_base, obs_t,
-                            obs_aabb_rows, obs_sub):
+                            obs_aabb_rows):
             return mk._check_block_packed(
                 confs, obs_mesh, obs_grp, rob_base, obs_t, obs_aabb_rows,
-                obs_sub,
                 num_rob_tiles=prep.num_rob_tiles,
                 num_obs_tiles=prep.num_obs_tiles,
                 rob_tile=prep.rob_tile, obs_tile=prep.obs_tile,
@@ -126,7 +123,7 @@ class ShardedChecker:
         confs = jax.device_put(confs, self._conf_sharding)
         return self._sharded(confs, self._obs_mesh, self._obs_grp,
                              self._rob_base, self._obs_t,
-                             self._obs_aabb_rows, self._obs_sub)
+                             self._obs_aabb_rows)
 
     def broad_block(self, confs: jnp.ndarray) -> np.ndarray:
         """[B,6] -> [B] bool mesh-AABB overlap, bit-identical to the
@@ -201,7 +198,7 @@ class ShardedChecker:
             outs.append(
                 self._sharded_packed(
                     part, self._obs_mesh, self._obs_grp, self._rob_base,
-                    self._obs_t, self._obs_aabb_rows, self._obs_sub,
+                    self._obs_t, self._obs_aabb_rows,
                 )
             )
         packed = np.asarray(outs[0] if len(outs) == 1
@@ -263,7 +260,7 @@ class ShardedChecker:
         )
         packed = self._sharded_packed(
             garr, self._obs_mesh, self._obs_grp, self._rob_base,
-            self._obs_t, self._obs_aabb_rows, self._obs_sub,
+            self._obs_t, self._obs_aabb_rows,
         )
         # Reassemble this process's rows from its addressable shards.
         out = np.zeros((per_proc,), dtype=np.uint8)

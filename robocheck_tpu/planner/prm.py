@@ -66,11 +66,23 @@ def unwrap_path(path: np.ndarray) -> np.ndarray:
 
 def _interpolate(a: np.ndarray, b: np.ndarray, steps: int) -> np.ndarray:
     """Linear in translation, shortest-arc linear in each angle."""
-    t = np.linspace(0.0, 1.0, steps)[:, None]
-    out = (1 - t) * a[None] + t * b[None]
-    da = b[3:] - a[3:]
+    return _interpolate_many(a[None], b[None], steps)[0]
+
+
+def _interpolate_many(a: np.ndarray, b: np.ndarray, steps: int) -> np.ndarray:
+    """Batched `_interpolate`: [E,6] x [E,6] -> [E, steps, 6].
+
+    One broadcasted evaluation for the whole edge set — the per-edge
+    Python loop this replaces dominated 50k-sample roadmap builds
+    (~300k small-array constructions before the first collision check).
+    """
+    t = np.linspace(0.0, 1.0, steps)[None, :, None]  # [1,S,1]
+    a = a.astype(np.float64)[:, None, :]  # [E,1,6]
+    b = b.astype(np.float64)[:, None, :]
+    out = (1 - t) * a + t * b
+    da = (b - a)[:, :, 3:]
     da = np.arctan2(np.sin(da), np.cos(da))
-    out[:, 3:] = a[None, 3:] + t * da[None]
+    out[:, :, 3:] = a[:, :, 3:] + t * da
     return out.astype(np.float32)
 
 
@@ -145,12 +157,12 @@ class PRMPlanner:
                 edge_w[key] = float(dj)
         edges = sorted(edge_w)
 
-        # 2. Edge validation — one giant interpolation batch.
-        interp = np.concatenate(
-            [_interpolate(verts[i], verts[j], cfg.edge_resolution)
-             for i, j in edges],
-            axis=0,
-        )
+        # 2. Edge validation — one giant interpolation batch (vectorized
+        # over all edges; see _interpolate_many).
+        eidx = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+        interp = _interpolate_many(
+            verts[eidx[:, 0]], verts[eidx[:, 1]], cfg.edge_resolution
+        ).reshape(-1, 6)
         evalid = self.checker.check_valid_resolved(interp)
         confs_checked += len(interp)
         evalid = evalid.reshape(len(edges), cfg.edge_resolution).all(axis=1)

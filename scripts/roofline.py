@@ -111,7 +111,6 @@ def main() -> int:
         return mk._check_block_packed(
             confs_dev, checker._obs_mesh, checker._obs_grp,
             checker._rob_base, checker._obs_t, checker._obs_aabb_rows,
-            checker._obs_sub,
             num_rob_tiles=checker.prep.num_rob_tiles,
             num_obs_tiles=checker.prep.num_obs_tiles,
             interpret=checker._interpret, sweep=sweep,

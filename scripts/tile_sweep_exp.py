@@ -74,23 +74,22 @@ def main() -> int:
     interpret = jax.default_backend() != "tpu"
 
     for spec in args.variants:
-        parts = [int(x) for x in spec.split(",")]
-        rt, ot, ie = parts[:3]
-        cap = parts[3] if len(parts) > 3 else 2
+        parts = [float(x) for x in spec.split(",")]
+        rt, ot, ie = (int(p) for p in parts[:3])
+        cap = int(parts[3]) if len(parts) > 3 else 2
         hot = float(parts[4]) if len(parts) > 4 else 1024.0
-        contact = bool(parts[5]) if len(parts) > 5 else False
         t0 = time.perf_counter()
         ck = mk.MegaKernelChecker(robot, obstacle, interpret=interpret,
                                   rob_tile=rt, obs_tile=ot)
 
-        def packed(dev, ck=ck, ie=ie, cap=cap, hot=hot, contact=contact):
+        def packed(dev, ck=ck, ie=ie, cap=cap, hot=hot):
             return mk._check_block_packed(
                 dev, ck._obs_mesh, ck._obs_grp, ck._rob_base, ck._obs_t,
-                ck._obs_aabb_rows, ck._obs_sub,
+                ck._obs_aabb_rows,
                 num_rob_tiles=ck.prep.num_rob_tiles,
                 num_obs_tiles=ck.prep.num_obs_tiles,
                 rob_tile=rt, obs_tile=ot, inner_exit=bool(ie),
-                stage_cap=cap, hot_thresh=hot, contact_slabs=contact,
+                stage_cap=cap, hot_thresh=hot,
                 interpret=interpret,
             )
 
@@ -102,7 +101,7 @@ def main() -> int:
         best = bench_async(lambda: packed(dev))
         print(json.dumps({
             "rt": rt, "ot": ot, "inner_exit": bool(ie), "stage_cap": cap,
-            "hot": hot, "contact_slabs": contact,
+            "hot": hot,
             "checks_per_s": round(C / best, 0),
             "us_per_conf": round(best / C * 1e6, 3),
             "mismatches": mism,
