@@ -162,6 +162,35 @@ def test_certifier_tpu_backend_certifies_wall_gap():
     assert res2.collision and not res2.certified
 
 
+def test_batched_multires_matches_per_segment():
+    # certify_multires batches a level's segments into one masked certify
+    # call; the result must match certifying each segment independently.
+    from robocheck_tpu.kernels.megakernel import MegaKernelChecker
+    from robocheck_tpu.planner.ccd import SweptCertifier
+
+    robot = box(extent=(0.1, 0.1, 0.1), name="r")
+    wall = box(extent=(0.4, 4.0, 4.0), name="wall")
+    checker = MegaKernelChecker(robot, wall, interpret=True)
+    cert = SweptCertifier(robot, wall, refine=1, exact=True, backend="tpu")
+    segs = []
+    for x in (-1.5, 1.5):
+        s = np.zeros((3, 6), np.float32)
+        s[:, 0] = x
+        s[:, 1] = [-1.0, 0.0, 1.0]
+        segs.append(s)
+    concat = np.concatenate(segs)
+    mask = np.ones(len(concat) - 1, bool)
+    mask[len(segs[0]) - 1] = False
+    batched = cert.certify(concat, checker, max_depth=5, step_mask=mask)
+    singles = [cert.certify(s, checker, max_depth=5) for s in segs]
+    assert batched.certified == all(s.certified for s in singles)
+    assert not batched.collision
+    if batched.certified:
+        np.testing.assert_allclose(
+            batched.min_clearance,
+            min(s.min_clearance for s in singles), rtol=1e-9)
+
+
 def test_certify_step_mask_junctions_ignored():
     # Two independently-certifiable segments concatenated with a junction
     # step that passes straight through the wall: with the junction masked
