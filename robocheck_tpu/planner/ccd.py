@@ -437,6 +437,7 @@ def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
     min_clear = float("inf")
     segments = [np.asarray(path, np.float32)]
     last_floor = float("nan")
+    last_seen = float("nan")
     for li, (refine, max_depth) in enumerate(levels):
         import time as _time
 

@@ -214,6 +214,9 @@ class TpuClearanceEngine:
         self.num_tri_chunks = ntc
 
         self._obs_scale = float(np.abs(tri).max()) if nt else 1.0
+        # Cached for err_bound: re-reading the device block table (up to
+        # ~100 MB at refine 7) per clearances() call is pure host waste.
+        self._r_max_abs = float(np.abs(vp).max()) if len(vp) else 1.0
         self._mesh = mesh
         self._ndev = 1
         if mesh is not None:
@@ -237,9 +240,9 @@ class TpuClearanceEngine:
         of noisy pair distances realizes more noise than one evaluation);
         validated in `tests/test_clearance.py`."""
         c = np.asarray(confs, dtype=np.float64)
-        r_max = float(np.abs(np.asarray(self._blocks)).max())
         scale = max(1.0, self._obs_scale,
-                    float(np.abs(c[:, 0:3]).max(initial=0.0)) + r_max)
+                    float(np.abs(c[:, 0:3]).max(initial=0.0))
+                    + self._r_max_abs)
         return 128.0 * _F32_EPS * scale
 
     # -- jitted device functions -------------------------------------------
