@@ -130,6 +130,27 @@ def subdivide_mesh(mesh: Mesh, levels: int = 1) -> Mesh:
     return out
 
 
+def subdivide_vertices(mesh: Mesh, levels: int) -> np.ndarray:
+    """Vertex array of ``subdivide_mesh(mesh, levels)`` without assembling
+    the final level's triangle list (4 x 16.5M rows of int64 at refine 7
+    that the exact certifier never reads — it samples VERTICES; its
+    covering radius comes from the base mesh's exact per-level halving).
+    Chains through the subdivision cache for all but the last level."""
+    if levels <= 0:
+        return mesh.vertices
+    prev = mesh if levels == 1 else subdivide_mesh(mesh, levels - 1)
+    v = prev.vertices.astype(np.float64)
+    f = prev.triangles.astype(np.int64)
+    e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    lo = e.min(axis=1)
+    hi = e.max(axis=1)
+    uniq_code = np.unique(lo * np.int64(len(v) + 1) + hi)
+    u_lo = uniq_code // np.int64(len(v) + 1)
+    u_hi = uniq_code % np.int64(len(v) + 1)
+    return np.concatenate(
+        [v, (v[u_lo] + v[u_hi]) / 2.0]).astype(np.float32)
+
+
 @dataclasses.dataclass
 class SweptCertificate:
     """Result of a continuous certification attempt."""
@@ -178,7 +199,14 @@ class SweptCertifier:
                  grid: DistanceGrid | None = None, resolution: int = 96,
                  refine: int = 0, exact: bool = False,
                  backend: str = "tpu", mesh=None):
-        self.robot = subdivide_mesh(robot, refine) if refine else robot
+        # Exact mode samples vertices only — skip assembling the finest
+        # level's triangle list (see subdivide_vertices).
+        if refine and exact:
+            self.robot = robot
+            self._exact_verts = subdivide_vertices(robot, refine)
+        else:
+            self.robot = subdivide_mesh(robot, refine) if refine else robot
+            self._exact_verts = self.robot.vertices
         self.obstacle = obstacle
         self.exact = exact
         self._engine = None
@@ -212,7 +240,7 @@ class SweptCertifier:
             self.grid = None
             self.e_g = 0.0
             self._engine = TpuClearanceEngine(
-                self.robot.vertices, obstacle, mesh=mesh)
+                self._exact_verts, obstacle, mesh=mesh)
         elif exact:
             # Host fallback / cross-check backend: the native BVH
             # point-to-mesh query (`runtime/native.rc_point_mesh_dist`).
@@ -247,7 +275,11 @@ class SweptCertifier:
             spacing = np.asarray(self.grid.spacing, dtype=np.float64)
             self._dom_lo = origin
             self._dom_hi = origin + (shape - 1.0) * spacing
-        self._verts = jnp.asarray(self.robot.vertices.astype(np.float32))
+        # The refined vertex set every clearance backend samples (for the
+        # exact backends this is subdivide_vertices' output; the grid path
+        # uses the mesh's own vertices).
+        self._verts = jnp.asarray(
+            np.asarray(self._exact_verts, dtype=np.float32))
         self._obs_lo = obstacle.aabb[:3].astype(np.float64)
         self._obs_hi = obstacle.aabb[3:].astype(np.float64)
 

@@ -27,6 +27,9 @@ def main() -> int:
     ap.add_argument("--dataset", default="hard10k")
     ap.add_argument("--confs-per-device", type=int, default=4096)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--clearance", action="store_true",
+                    help="also scale the TPU clearance engine's exact pair "
+                         "batches (the continuous certifier's hot phase)")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -77,7 +80,42 @@ def main() -> int:
         print(f"{n} device(s): {cps:,.0f} checks/s"
               + (f", efficiency {eff:.1%}" if eff else ""))
 
+    clear_results = {}
+    if args.clearance:
+        # Clearance-engine scaling: the exact (config, block) pair batches
+        # are the certificate's dominant device phase; shard_map splits
+        # them over the mesh's batch axis (planner/clearance.py).
+        from robocheck_tpu.planner.ccd import subdivide_mesh
+        from robocheck_tpu.planner.clearance import TpuClearanceEngine
+
+        rob2 = subdivide_mesh(robot, 3)
+        rng = np.random.default_rng(5)
+        cl = rng.uniform(-np.pi, np.pi, (128, 6)).astype(np.float32)
+        center = 0.5 * (obstacle.aabb[:3] + obstacle.aabb[3:])
+        ext = obstacle.aabb[3:] - obstacle.aabb[:3]
+        cl[:, 0:3] = center + rng.uniform(-0.5, 0.5, (128, 3)) * ext
+        cbase = None
+        for n in sizes:
+            eng = TpuClearanceEngine(rob2.vertices, obstacle,
+                                     mesh=make_mesh(n) if n > 1 else None)
+            eng.min_distances(cl)  # compile + warm
+            best = float("inf")
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                eng.min_distances(cl)
+                best = min(best, time.perf_counter() - t0)
+            cps = len(cl) / best
+            ceff = None if cbase is None else cps / (cbase * n)
+            if cbase is None:
+                cbase = cps
+            clear_results[n] = {
+                "clearance_configs_per_s": round(cps, 1),
+                "scaling_efficiency": round(ceff, 3) if ceff else 1.0}
+            print(f"clearance {n} device(s): {cps:,.1f} configs/s"
+                  + (f", efficiency {ceff:.1%}" if ceff else ""))
+
     print(json.dumps({"devices": results,
+                      "clearance_devices": clear_results or None,
                       "backend": jax.default_backend(),
                       "dataset": args.dataset}))
     return 0
