@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--clearance", action="store_true",
                     help="also scale the TPU clearance engine's exact pair "
                          "batches (the continuous certifier's hot phase)")
+    ap.add_argument("--clearance-only", action="store_true",
+                    help="skip the checker legs (CPU-mesh compiles of the "
+                         "streamed path dominate otherwise)")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -60,7 +63,7 @@ def main() -> int:
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev_total]
     results = {}
     base = None
-    for n in sizes:
+    for n in ([] if args.clearance_only else sizes):
         checker = ShardedChecker(robot, obstacle, mesh=make_mesh(n),
                                  interpret=interpret)
         want = n * args.confs_per_device
@@ -81,21 +84,25 @@ def main() -> int:
               + (f", efficiency {eff:.1%}" if eff else ""))
 
     clear_results = {}
-    if args.clearance:
+    if args.clearance or args.clearance_only:
         # Clearance-engine scaling: the exact (config, block) pair batches
         # are the certificate's dominant device phase; shard_map splits
         # them over the mesh's batch axis (planner/clearance.py).
         from robocheck_tpu.planner.ccd import subdivide_mesh
         from robocheck_tpu.planner.clearance import TpuClearanceEngine
 
-        rob2 = subdivide_mesh(robot, 3)
+        # Workload sized for the virtual-CPU tier too: refine-2 keeps a
+        # per-device pair chunk meaningful without hours of host VPU
+        # emulation (on real chips pass a bigger refine via --help... the
+        # absolute numbers here only support the RELATIVE scaling claim).
+        rob2 = subdivide_mesh(robot, 2)
         rng = np.random.default_rng(5)
-        cl = rng.uniform(-np.pi, np.pi, (128, 6)).astype(np.float32)
+        cl = rng.uniform(-np.pi, np.pi, (64, 6)).astype(np.float32)
         center = 0.5 * (obstacle.aabb[:3] + obstacle.aabb[3:])
         ext = obstacle.aabb[3:] - obstacle.aabb[:3]
-        cl[:, 0:3] = center + rng.uniform(-0.5, 0.5, (128, 3)) * ext
+        cl[:, 0:3] = center + rng.uniform(-0.5, 0.5, (64, 3)) * ext
         cbase = None
-        for n in sizes:
+        for n in [s_ for s_ in sizes if s_ in (1, n_dev_total)]:
             eng = TpuClearanceEngine(rob2.vertices, obstacle,
                                      mesh=make_mesh(n) if n > 1 else None)
             eng.min_distances(cl)  # compile + warm
