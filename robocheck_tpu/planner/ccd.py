@@ -443,7 +443,7 @@ class SweptCertifier:
 def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
                      checker, levels=((0, 8), (2, 8), (4, 8), (7, 10)),
                      verbose: bool = False, backend: str = "tpu",
-                     mesh=None) -> SweptCertificate:
+                     mesh=None, prefetch: bool = True) -> SweptCertificate:
     """Multi-resolution continuous certification: each level is a
     ``(refine, max_depth)`` pair using EXACT surface distances (floor =
     covering radius alone; backend "tpu" = the device clearance engine,
@@ -460,85 +460,115 @@ def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
     proof that is embarrassingly parallel. Pass ``mesh=`` (a jax Mesh) to
     shard those batches across devices.
 
+    With ``prefetch`` (default), the NEXT level's certifier — mesh
+    subdivision, Morton blocking, table upload, the expensive host half of
+    a refine-7 level — is built on a worker thread while the current
+    level's certification runs on the device, hiding ~1/3 of the alpha
+    proof's wall clock. The build is speculative: if the current level
+    proves everything, the in-flight build finishes in the background
+    (its subdivision cache entries still help later calls).
+
     Returns a certificate with totals aggregated across levels;
     ``min_clearance`` is the min over levels of each level's own
     conservative surface clearance (no cross-level r_cov mixing).
     Short-circuits on any refutation (collision=True).
     """
+    import time as _time
+
     total_checks = 0
     min_clear = float("inf")
     segments = [np.asarray(path, np.float32)]
     last_floor = float("nan")
     last_seen = float("nan")
-    for li, (refine, max_depth) in enumerate(levels):
-        import time as _time
+    pool = None
+    nxt = None
+    if prefetch and len(levels) > 1:
+        import concurrent.futures as _cf
 
-        t_level = _time.perf_counter()
-        cert = SweptCertifier(robot, obstacle, refine=refine, exact=True,
+        pool = _cf.ThreadPoolExecutor(max_workers=1)
+
+    def _build(refine):
+        return SweptCertifier(robot, obstacle, refine=refine, exact=True,
                               backend=backend, mesh=mesh)
-        t_built = _time.perf_counter() - t_level
-        last_floor = cert.floor()
-        # One batched call for the whole level: concatenate segments and
-        # mask out the junction steps between them.
-        concat = np.concatenate(segments, axis=0)
-        real = np.ones(max(len(concat) - 1, 0), dtype=bool)
-        off = 0
-        for seg in segments[:-1]:
-            off += len(seg)
-            real[off - 1] = False
-        res = cert.certify(concat, checker, max_depth=max_depth,
-                           step_mask=real)
-        total_checks += res.num_checks
-        if np.isfinite(res.min_clearance):
-            min_clear = min(min_clear, res.min_clearance)
-        mc = min_clear if np.isfinite(min_clear) else float("nan")
 
-        def _report(tag):
-            if not verbose:
-                return
-            eng = getattr(cert, "_engine", None)
-            es = (", engine[" + ", ".join(
-                f"{k}={v:.1f}" if isinstance(v, float) else f"{k}={v}"
-                for k, v in eng.stats.items()) + "]"
-                if eng is not None else "")
-            print(f"  level {li} (refine={refine}, floor="
-                  f"{cert.floor():.3f}): {tag}, {total_checks} checks so "
-                  f"far, {_time.perf_counter() - t_level:.1f}s "
-                  f"(build {t_built:.1f}s){es}", flush=True)
-
-        if res.collision:
-            _report("REFUTED")
-            return SweptCertificate(False, True, total_checks, 0,
-                                    float("nan"), cert.floor(), 0)
-        if res.certified:
-            _report("all segments certified")
-            return SweptCertificate(
-                True, False, total_checks, len(path) - 1, mc, cert.floor(),
-                0, min_seen_clearance=res.min_seen_clearance)
-        # Merge adjacent unproven real steps into contiguous segments for
-        # the next level (junction steps are never unproven-real, so runs
-        # cannot bleed across segment boundaries).
-        p, ok, rl = res.path, res.step_ok, res.step_real
-        bad = np.nonzero(~ok & rl)[0]
-        next_segments = []
-        start = None
-        for b in bad:
-            if start is None:
-                start = end = b
-            elif b == end + 1:
-                end = b
+    try:
+        for li, (refine, max_depth) in enumerate(levels):
+            t_level = _time.perf_counter()
+            if nxt is not None:
+                cert = nxt.result()
             else:
+                cert = _build(refine)
+            nxt = (pool.submit(_build, levels[li + 1][0])
+                   if pool is not None and li + 1 < len(levels) else None)
+            t_built = _time.perf_counter() - t_level
+            last_floor = cert.floor()
+            # One batched call for the whole level: concatenate segments and
+            # mask out the junction steps between them.
+            concat = np.concatenate(segments, axis=0)
+            real = np.ones(max(len(concat) - 1, 0), dtype=bool)
+            off = 0
+            for seg in segments[:-1]:
+                off += len(seg)
+                real[off - 1] = False
+            res = cert.certify(concat, checker, max_depth=max_depth,
+                               step_mask=real)
+            total_checks += res.num_checks
+            if np.isfinite(res.min_clearance):
+                min_clear = min(min_clear, res.min_clearance)
+            mc = min_clear if np.isfinite(min_clear) else float("nan")
+
+            def _report(tag):
+                if not verbose:
+                    return
+                eng = getattr(cert, "_engine", None)
+                es = (", engine[" + ", ".join(
+                    f"{k}={v:.1f}" if isinstance(v, float) else f"{k}={v}"
+                    for k, v in eng.stats.items()) + "]"
+                    if eng is not None else "")
+                print(f"  level {li} (refine={refine}, floor="
+                      f"{cert.floor():.3f}): {tag}, {total_checks} checks so "
+                      f"far, {_time.perf_counter() - t_level:.1f}s "
+                      f"(build {t_built:.1f}s){es}", flush=True)
+
+            if res.collision:
+                _report("REFUTED")
+                return SweptCertificate(False, True, total_checks, 0,
+                                        float("nan"), cert.floor(), 0)
+            if res.certified:
+                _report("all segments certified")
+                return SweptCertificate(
+                    True, False, total_checks, len(path) - 1, mc, cert.floor(),
+                    0, min_seen_clearance=res.min_seen_clearance)
+            # Merge adjacent unproven real steps into contiguous segments for
+            # the next level (junction steps are never unproven-real, so runs
+            # cannot bleed across segment boundaries).
+            p, ok, rl = res.path, res.step_ok, res.step_real
+            bad = np.nonzero(~ok & rl)[0]
+            next_segments = []
+            start = None
+            for b in bad:
+                if start is None:
+                    start = end = b
+                elif b == end + 1:
+                    end = b
+                else:
+                    next_segments.append(p[start : end + 2])
+                    start = end = b
+            if start is not None:
                 next_segments.append(p[start : end + 2])
-                start = end = b
-        if start is not None:
-            next_segments.append(p[start : end + 2])
-        _report(f"{len(next_segments)} unproven segment(s) remain")
-        segments = next_segments
-        if not segments:
-            return SweptCertificate(
-                True, False, total_checks, len(path) - 1, mc, cert.floor(),
-                0, min_seen_clearance=res.min_seen_clearance)
-        last_seen = res.min_seen_clearance
+            _report(f"{len(next_segments)} unproven segment(s) remain")
+            segments = next_segments
+            if not segments:
+                return SweptCertificate(
+                    True, False, total_checks, len(path) - 1, mc, cert.floor(),
+                    0, min_seen_clearance=res.min_seen_clearance)
+            last_seen = res.min_seen_clearance
+
+    finally:
+        if pool is not None:
+            # Never join a speculative build from the hot path; threads
+            # finish in the background (subdiv cache entries persist).
+            pool.shutdown(wait=False)
     return SweptCertificate(False, False, total_checks, len(path) - 1,
                             min_clear, last_floor,
                             sum(len(s) - 1 for s in segments),

@@ -432,9 +432,3 @@ class TpuClearanceEngine:
                 surv_c, surv_b, slb = surv_c[keep], surv_b[keep], slb[keep]
         return best - err
 
-
-def _pad_to_jnp(x, n):
-    if x.shape[0] == n:
-        return x
-    return jnp.concatenate(
-        [x, jnp.broadcast_to(x[-1:], (n - x.shape[0],) + x.shape[1:])])
