@@ -215,6 +215,14 @@ def main():
             [sys.executable, os.path.abspath(__file__), "--leg", "easy"],
             capture_output=True, text=True, timeout=1200,
         )
+        if proc.returncode != 0 or not proc.stdout.strip():
+            # Surface the child's actual failure (e.g. exclusive-attach
+            # deployments where a second process cannot acquire the TPU)
+            # instead of a bare parse error.
+            tail = (proc.stderr.strip().splitlines()[-1][-300:]
+                    if proc.stderr.strip() else "no output")
+            raise RuntimeError(
+                f"easy-leg subprocess rc={proc.returncode}: {tail}")
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         easy_times = rec["times_s"]
         easy_cps = round(rec["n"] / min(easy_times), 1)

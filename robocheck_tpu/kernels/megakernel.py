@@ -344,12 +344,6 @@ def _gate_cols(num_rob_tiles: int, num_obs_tiles: int) -> int:
         max(2 * num_rob_tiles * _gate_words(num_obs_tiles), 1), LANE)
 
 
-# Obstacle rows per SLAB — the cold pass's dispatch granularity. Measured on
-# hard100k (scripts/gate_study.py): a valid broad-hit configuration has only
-# 1.55 slabs with any masked pair (3.4 under the cheap tri-box-vs-slab-box
-# candidate test) vs 2.2 gated 128x128 tile visits each paying a ~0.3 us
-# serialized any()->cond decision — so the cold pass dispatches [16 x 128]
-# slabs from precomputed candidate words instead of deciding per tile.
 def _ctz16(word):
     """Count trailing zeros of a scalar int32 known to be nonzero and
     < 2^16. Mosaic's scalar core has no popcount; isolate the lowest set bit
@@ -874,11 +868,12 @@ def _one_config(
         # Dispatch order: (1) the config's BEST tile (argmax estimated pair
         # count, precomputed in stage 1) unconditionally — a colliding
         # configuration's contact is almost always there, so the any-hit
-        # exit fires after this one visit; (2) HOT tiles with the per-tile
-        # exact flow; (3) COLD tiles — same flow, or the opt-in
-        # decision-free slab flow on the packed path. Valid configurations
-        # visit the same total tile set as without the best-first step
-        # (stage 1 cleared the best tile's gate bit).
+        # exit fires after this one visit; (2) HOT tiles; (3) COLD tiles —
+        # all through the same per-tile exact flow (two slab-granular
+        # variants were measured slower and deleted; receipts in
+        # DESIGN.md "Measured roofline"). Valid configurations visit the
+        # same total tile set as without the best-first step (stage 1
+        # cleared the best tile's gate bit).
         if best_first:
             best_code = misc[pl.ds(cc, 1), 8:9][0, 0].astype(jnp.int32)
 

@@ -73,8 +73,16 @@ def covering_radius(mesh: Mesh) -> float:
 # Subdivided meshes are pure functions of (base mesh, levels) and a refine-7
 # build touches 16.5M triangles — cache the handful of levels a multires
 # certificate walks so the raw and smoothed legs don't rebuild them. Values
-# keep the base mesh alive, so the id() key stays valid.
+# keep the base mesh alive, so the id() key stays valid. A full alpha
+# ladder retains ~0.5 GB for the process lifetime; long-lived services
+# certifying many DIFFERENT meshes should call
+# ``clear_subdivision_cache()`` between workloads.
 _SUBDIV_CACHE: dict = {}
+
+
+def clear_subdivision_cache() -> None:
+    """Release all cached subdivided meshes (see _SUBDIV_CACHE note)."""
+    _SUBDIV_CACHE.clear()
 
 
 def subdivide_mesh(mesh: Mesh, levels: int = 1) -> Mesh:
@@ -212,12 +220,18 @@ class SweptCertifier:
         self._engine = None
         if refine:
             # Midpoint subdivision halves every edge exactly, so the
-            # refined covering radius is the base's / 2^refine — no need
-            # to materialize 16.5M triangle-vertex rows to measure it.
-            # The 1e-5 relative inflation covers float32 vertex-storage
-            # rounding of the refined mesh the engine actually samples.
-            self.r_cov = (covering_radius(robot) / (2.0 ** refine)
-                          ) * (1.0 + 1e-5) + 1e-12
+            # refined covering radius is the base's / 2^refine. float32
+            # vertex storage perturbs each chained level's vertices by an
+            # ABSOLUTE ~0.5 ulp of the coordinate magnitude (not a
+            # fraction of r_cov), so the inflation has a relative term
+            # for the halving arithmetic plus an absolute term of
+            # 4 ulp x coordinate scale per stored level.
+            coord_scale = float(
+                np.abs(robot.vertices.astype(np.float64)).max(initial=1.0))
+            f32_eps = float(np.finfo(np.float32).eps)
+            self.r_cov = ((covering_radius(robot) / (2.0 ** refine))
+                          * (1.0 + 1e-5)
+                          + (refine + 1) * 4.0 * f32_eps * coord_scale)
             # Midpoints are convex combinations: the base's max |v| bounds
             # the refined mesh's.
             self.r_max = float(np.linalg.norm(
@@ -569,7 +583,7 @@ def certify_multires(robot: Mesh, obstacle: Mesh, path: np.ndarray,
             # Never join a speculative build from the hot path; threads
             # finish in the background (subdiv cache entries persist).
             pool.shutdown(wait=False)
-    return SweptCertificate(False, False, total_checks, len(path) - 1,
-                            min_clear, last_floor,
-                            sum(len(s) - 1 for s in segments),
-                            min_seen_clearance=last_seen)
+    return SweptCertificate(
+        False, False, total_checks, len(path) - 1,
+        min_clear if np.isfinite(min_clear) else float("nan"), last_floor,
+        sum(len(s) - 1 for s in segments), min_seen_clearance=last_seen)

@@ -214,9 +214,12 @@ class TpuClearanceEngine:
         self.num_tri_chunks = ntc
 
         self._obs_scale = float(np.abs(tri).max()) if nt else 1.0
-        # Cached for err_bound: re-reading the device block table (up to
-        # ~100 MB at refine 7) per clearances() call is pure host waste.
-        self._r_max_abs = float(np.abs(vp).max()) if len(vp) else 1.0
+        # Cached for err_bound. The MAX VERTEX 2-NORM, not the max body-
+        # frame coordinate: a rotation can align a vertex's norm with one
+        # axis, so the posed coordinate bound is ||v||_2 + |t|, and using
+        # the per-axis max would understate the scale by up to sqrt(3).
+        self._r_max_abs = (float(np.sqrt((v * v).sum(axis=1).max()))
+                           if len(v) else 1.0)
         self._mesh = mesh
         self._ndev = 1
         if mesh is not None:

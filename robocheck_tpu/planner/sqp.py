@@ -322,12 +322,18 @@ class SQPOptimizer:
                 # AFTER dispatching this round's constraint blocks, so the
                 # verdict's link round trip hides behind device work.
                 if pending is not None:
-                    fut, ptraj, pouter, pmu = pending
+                    fut, ptraj, pouter, pmu, ckpt = pending
                     pending = None
                     if fut.result():
                         return SQPResult(ptraj, True, pouter,
                                          self._merit(jnp.asarray(ptraj),
                                                      pmu))
+                    # Only now that the previous round is known
+                    # uncertified does its successor checkpoint get
+                    # written — a preemption during the speculative
+                    # window must resume BEFORE the escalated round, as
+                    # the non-overlapped flow would have.
+                    self._checkpoint(*ckpt)
                 dq = self._solve_subproblem(qj, g0, J, jnp.float32(mu),
                                             jnp.float32(delta))
                 # merit(qj) reuses the penalty total the block evaluation
@@ -347,17 +353,19 @@ class SQPOptimizer:
             if rnd + 1 < cfg.max_penalty_rounds:
                 # Dispatch certification asynchronously and speculatively
                 # begin the next penalty round; harvested at that round's
-                # first iteration (above).
-                pending = (self._certify_submit(traj), traj, outer, mu)
+                # first iteration (above). The rnd+1 checkpoint is
+                # deferred to the harvest (see there).
+                pending = (self._certify_submit(traj), traj, outer, mu,
+                           (qj, mu * cfg.penalty_growth, cfg.trust_init,
+                            outer, rnd + 1))
                 mu *= cfg.penalty_growth
                 delta = cfg.trust_init
-                self._checkpoint(qj, mu, delta, outer, rnd + 1)
             else:
                 if self._certify(traj):
                     return SQPResult(traj, True, outer,
                                      self._merit(qj, mu))
         if pending is not None:  # max_outer == 0 edge: nothing harvested it
-            fut, ptraj, pouter, pmu = pending
+            fut, ptraj, pouter, pmu, _ckpt = pending
             if fut.result():
                 return SQPResult(ptraj, True, pouter,
                                  self._merit(jnp.asarray(ptraj), pmu))

@@ -102,7 +102,7 @@ def main() -> int:
         ext = obstacle.aabb[3:] - obstacle.aabb[:3]
         cl[:, 0:3] = center + rng.uniform(-0.5, 0.5, (64, 3)) * ext
         cbase = None
-        for n in [s_ for s_ in sizes if s_ in (1, n_dev_total)]:
+        for n in sorted({1, n_dev_total}):
             eng = TpuClearanceEngine(rob2.vertices, obstacle,
                                      mesh=make_mesh(n) if n > 1 else None)
             eng.min_distances(cl)  # compile + warm
