@@ -162,6 +162,20 @@ def test_certifier_tpu_backend_certifies_wall_gap():
     assert res2.collision and not res2.certified
 
 
+def test_subdivide_vertices_matches_mesh_subdivision():
+    # The exact certifiers sample subdivide_vertices' output; it must be
+    # exactly the vertex array subdivide_mesh would have produced (same
+    # set, same order) at every chained level.
+    from robocheck_tpu.planner.ccd import subdivide_mesh, subdivide_vertices
+
+    base = icosphere(1, radius=0.7, name="m")
+    for lv in (1, 2, 3):
+        a = subdivide_mesh(base, lv).vertices
+        b = subdivide_vertices(base, lv)
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
+
+
 def test_batched_multires_matches_per_segment():
     # certify_multires batches a level's segments into one masked certify
     # call; the result must match certifying each segment independently.
