@@ -48,6 +48,15 @@ def main():
     path = np.load(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "data", "alpha_certified_path.npy"))
     checker = MegaKernelChecker(robot, obstacle)
+    # Warm-up ping: the first device activity of a fresh process after a
+    # long idle period intermittently pays a ~1 min tunnel re-acquisition
+    # stall. Absorb it HERE (visible as device_warmup_s) rather than
+    # letting it pollute the first certification level's wall time.
+    t0 = time.perf_counter()
+    checker.check_valid_resolved(path[:2])
+    warmup_s = round(time.perf_counter() - t0, 1)
+    print(f"device warm-up (first dispatch + compile): {warmup_s}s",
+          flush=True)
 
     def levels(spec):
         return tuple(tuple(int(x) for x in part.split(":"))
@@ -86,6 +95,7 @@ def main():
             "scripts/certify_alpha.py [--backend native] [--smooth]. "
             "Round-4 native-backend wall times for the same legs: raw "
             "802.2 s, smoothed 417.8 s (serial per-segment host loop)."),
+        "device_warmup_s": warmup_s,
     }
     print(f"raw path ({len(path)} waypoints), backend={args.backend}",
           flush=True)

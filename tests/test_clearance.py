@@ -205,6 +205,34 @@ def test_batched_multires_matches_per_segment():
             min(s.min_clearance for s in singles), rtol=1e-9)
 
 
+@pytest.mark.skipif(not (native.available() and native.has_point_mesh_dist()),
+                    reason="native library not built")
+def test_multires_backend_verdict_agreement():
+    # Randomized cross-backend stress: the tpu and native exact backends
+    # must agree on certified/collision verdicts over random scenes (the
+    # device engine's haircut can only cost extra subdivision depth, not
+    # flip an outcome at these clearances).
+    from robocheck_tpu.kernels.megakernel import MegaKernelChecker
+    from robocheck_tpu.planner.ccd import certify_multires
+
+    rng = np.random.default_rng(13)
+    robot = box(extent=(0.12, 0.12, 0.12), name="r")
+    for trial in range(3):
+        wall = box(extent=(0.4, 3.0, 3.0), name="wall")
+        checker = MegaKernelChecker(robot, wall, interpret=True)
+        # A clear pass-around path with randomized waypoint jitter.
+        path = np.zeros((4, 6), np.float32)
+        path[:, 0] = 0.26 + 0.06 + rng.uniform(0.0, 0.3)
+        path[:, 1] = np.linspace(-1.2, 1.2, 4)
+        path[1:3, 2] += rng.uniform(-0.3, 0.3, 2).astype(np.float32)
+        results = {}
+        for backend in ("tpu", "native"):
+            res = certify_multires(robot, wall, path, checker,
+                                   levels=((0, 5), (2, 7)), backend=backend)
+            results[backend] = (res.certified, res.collision)
+        assert results["tpu"] == results["native"], (trial, results)
+
+
 def test_certify_step_mask_junctions_ignored():
     # Two independently-certifiable segments concatenated with a junction
     # step that passes straight through the wall: with the junction masked
